@@ -1,0 +1,248 @@
+"""Residual blocks: basic (3x3+3x3) and bottleneck (1x1/3x3/1x1).
+
+Capability parity with reference resnet/architectures/residual_block.py:
+
+- ``preact=True`` gives ResNet-v2 ordering (norm -> act -> dropout -> conv,
+  identity add, no post-activation); ``preact=False`` gives v1 ordering
+  (dropout -> conv -> norm -> act, post-activation after the add).
+- ``downsample=True`` halves the spatial extent (stride-2 on the 3x3 conv)
+  and doubles the channel count.
+- Shortcut on downsample: ``use_proj=True`` -> 1x1 projection conv after a
+  stride-2 subsample; ``use_proj=False`` -> He et al. option A: stride-2
+  subsample (AvgPool k=1 s=2 == x[:, ::2, ::2, :]) + zero-padding the channel
+  dim by ``in_channels`` (residual_block.py:89-94, 205-210).
+- Bottleneck width: ``channels//4``, or ``channels//2`` when downsampling
+  (residual_block.py:121-123) so the WRN bottleneck widening falls out.
+- Per-conv dropout (WRN-style) with probability ``dropout_prob``.
+
+Block convs keep torch's *default* initializer — the reference's
+kaiming_normal pass touches only top-level convs (resnet.py:160-163).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_ddp_resnet_tpu.models.layers import (
+    BatchNorm,
+    Conv,
+    Dropout,
+    Layer,
+    Shape,
+)
+
+
+def _subsample2(x):
+    """AvgPool2d(kernel=1, stride=2): every other pixel, no averaging."""
+    return x[:, ::2, ::2, :]
+
+
+def _zero_pad_channels(x, extra: int):
+    """Option-A shortcut channel padding: zeros appended on the channel dim
+    (reference pads (0,..,0,in_channels) on NCHW dim 1; NHWC pads dim 3)."""
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, extra)))
+
+
+class _BlockBase(Layer):
+    """Shared apply scaffolding for both block types.
+
+    Subclasses define ``_sublayers() -> [(name, layer, role)]`` (role is
+    informational), explicit per-sublayer input shapes in ``init``, and the
+    wiring in ``_forward(run, x, train)`` where ``run(name, x)`` applies the
+    named sublayer with its own folded rng and threads its state.
+    """
+
+    def _sublayers(self):
+        raise NotImplementedError
+
+    def _forward(self, run, x, train):
+        raise NotImplementedError
+
+    def apply(self, params, state, x, *, train, rng=None):
+        sub = {name: (layer, i) for i, (name, layer, _) in enumerate(self._sublayers())}
+        new_state = dict(state)
+
+        def run(name, x):
+            layer, i = sub[name]
+            sub_rng = jax.random.fold_in(rng, i) if rng is not None else None
+            y, s = layer.apply(
+                params.get(name, {}), state.get(name, {}), x,
+                train=train, rng=sub_rng)
+            if s:
+                new_state[name] = s
+            return y
+
+        y = self._forward(run, x, train)
+        return y, new_state
+
+
+@dataclass(frozen=True)
+class ResidualBlock(_BlockBase):
+    """Basic two-conv residual block (residual_block.py:8-99)."""
+
+    channels: int
+    downsample: bool
+    preact: bool
+    use_proj: bool
+    dropout_prob: float
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def in_channels(self) -> int:
+        return self.channels
+
+    @property
+    def out_channels(self) -> int:
+        return self.channels * 2 if self.downsample else self.channels
+
+    def _sublayers(self):
+        cin, cout, cd = self.in_channels, self.out_channels, self.compute_dtype
+        layers = [
+            ("conv1", Conv(cin, cout, 3, stride=2 if self.downsample else 1,
+                           padding=1, use_bias=False, compute_dtype=cd), "main"),
+            ("conv2", Conv(cout, cout, 3, stride=1, padding=1,
+                           use_bias=False, compute_dtype=cd), "main"),
+            ("norm1", BatchNorm(cin if self.preact else cout, compute_dtype=cd),
+             "main" if self.preact else "post1"),
+            ("norm2", BatchNorm(cout, compute_dtype=cd), "post2"),
+            ("drop1", Dropout(self.dropout_prob), "main"),
+            ("drop2", Dropout(self.dropout_prob), "main"),
+        ]
+        if self.downsample and self.use_proj:
+            layers.append(
+                ("proj", Conv(cin, cout, 1, stride=1, padding=0,
+                              use_bias=False, compute_dtype=cd), "shortcut"))
+        return layers
+
+    def init(self, rng, in_shape: Shape):
+        # Explicit wiring: sublayer roles don't form a simple chain here.
+        params, state = {}, {}
+        shape = in_shape
+        h, w, cin = in_shape
+        cout = self.out_channels
+        oh, ow = (h // 2, w // 2) if self.downsample else (h, w)
+        shapes = {
+            "conv1": in_shape, "conv2": (oh, ow, cout),
+            "norm1": in_shape if self.preact else (oh, ow, cout),
+            "norm2": (oh, ow, cout),
+            "drop1": in_shape, "drop2": in_shape,
+            "proj": (oh, ow, cin),
+        }
+        for i, (name, layer, _) in enumerate(self._sublayers()):
+            p, s, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
+            if p:
+                params[name] = p
+            if s:
+                state[name] = s
+        return params, state, (oh, ow, cout)
+
+    def _forward(self, run, x, train):
+        i = x
+        if self.preact:
+            x = run("conv1", run("drop1", jnp.maximum(run("norm1", x), 0)))
+            x = run("conv2", run("drop2", jnp.maximum(run("norm2", x), 0)))
+        else:
+            x = jnp.maximum(run("norm1", run("conv1", run("drop1", x))), 0)
+            x = run("norm2", run("conv2", run("drop2", x)))
+        if self.downsample:
+            i = _subsample2(i)
+            if self.use_proj:
+                i = run("proj", i)
+            else:
+                i = _zero_pad_channels(i, self.in_channels)
+        h = i.astype(x.dtype) + x
+        if not self.preact:
+            h = jnp.maximum(h, 0)
+        return h
+
+
+@dataclass(frozen=True)
+class BottleneckResidualBlock(_BlockBase):
+    """Bottleneck residual block (residual_block.py:102-215)."""
+
+    channels: int
+    downsample: bool
+    preact: bool
+    use_proj: bool
+    dropout_prob: float
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def in_channels(self) -> int:
+        return self.channels
+
+    @property
+    def bottleneck_channels(self) -> int:
+        return self.channels // 2 if self.downsample else self.channels // 4
+
+    @property
+    def out_channels(self) -> int:
+        return self.channels * 2 if self.downsample else self.channels
+
+    def _sublayers(self):
+        cin, cb, cout = self.in_channels, self.bottleneck_channels, self.out_channels
+        cd = self.compute_dtype
+        layers = [
+            ("conv1", Conv(cin, cb, 1, use_bias=False, compute_dtype=cd), "main"),
+            ("conv2", Conv(cb, cb, 3, stride=2 if self.downsample else 1,
+                           padding=1, use_bias=False, compute_dtype=cd), "main"),
+            ("conv3", Conv(cb, cout, 1, use_bias=False, compute_dtype=cd), "main"),
+            ("norm1", BatchNorm(cin if self.preact else cb, compute_dtype=cd), "m"),
+            ("norm2", BatchNorm(cb, compute_dtype=cd), "m"),
+            ("norm3", BatchNorm(cb if self.preact else cout, compute_dtype=cd), "m"),
+            ("drop1", Dropout(self.dropout_prob), "m"),
+            ("drop2", Dropout(self.dropout_prob), "m"),
+            ("drop3", Dropout(self.dropout_prob), "m"),
+        ]
+        if self.downsample and self.use_proj:
+            layers.append(
+                ("proj", Conv(cin, cout, 1, use_bias=False, compute_dtype=cd), "s"))
+        return layers
+
+    def init(self, rng, in_shape: Shape):
+        h, w, cin = in_shape
+        cb, cout = self.bottleneck_channels, self.out_channels
+        oh, ow = (h // 2, w // 2) if self.downsample else (h, w)
+        shapes = {
+            "conv1": in_shape,
+            "conv2": (h, w, cb),
+            "conv3": (oh, ow, cb),
+            "norm1": in_shape if self.preact else (h, w, cb),
+            "norm2": (h, w, cb) if self.preact else (oh, ow, cb),
+            "norm3": (oh, ow, cb) if self.preact else (oh, ow, cout),
+            "drop1": in_shape, "drop2": in_shape, "drop3": in_shape,
+            "proj": (oh, ow, cin),
+        }
+        params, state = {}, {}
+        for i, (name, layer, _) in enumerate(self._sublayers()):
+            p, s, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
+            if p:
+                params[name] = p
+            if s:
+                state[name] = s
+        return params, state, (oh, ow, cout)
+
+    def _forward(self, run, x, train):
+        i = x
+        if self.preact:
+            x = run("conv1", run("drop1", jnp.maximum(run("norm1", x), 0)))
+            x = run("conv2", run("drop2", jnp.maximum(run("norm2", x), 0)))
+            x = run("conv3", run("drop3", jnp.maximum(run("norm3", x), 0)))
+        else:
+            x = jnp.maximum(run("norm1", run("conv1", run("drop1", x))), 0)
+            x = jnp.maximum(run("norm2", run("conv2", run("drop2", x))), 0)
+            x = run("norm3", run("conv3", run("drop3", x)))
+        if self.downsample:
+            i = _subsample2(i)
+            if self.use_proj:
+                i = run("proj", i)
+            else:
+                i = _zero_pad_channels(i, self.in_channels)
+        h = i.astype(x.dtype) + x
+        if not self.preact:
+            h = jnp.maximum(h, 0)
+        return h

@@ -1,0 +1,334 @@
+"""Functional layer primitives in NHWC layout.
+
+Design: instead of translating torch ``nn.Module`` objects, each layer is a
+small stateless Python object with two pure methods:
+
+- ``init(rng, in_shape) -> (params, state, out_shape)`` where ``in_shape`` is
+  the static per-sample shape ``(H, W, C)``, ``params`` is the trainable
+  pytree and ``state`` the non-trainable pytree (BatchNorm EMA stats);
+- ``apply(params, state, x, *, train, rng) -> (y, new_state)`` operating on a
+  batched NHWC array.
+
+Everything is a pytree of jnp arrays, so the whole model jits, shards, and
+checkpoints with no wrapper machinery. NHWC + HWIO is the layout XLA:TPU
+prefers for convolutions; the reference's NCHW tensors (torch convention) are
+a CUDA/cuDNN artifact, not a capability.
+
+Mixed precision: convolutions and matmuls run in ``compute_dtype`` (bf16 on
+TPU) with fp32 MXU accumulation via ``preferred_element_type``; BatchNorm
+statistics, parameters, and optimizer state stay fp32. This replaces the
+reference's CUDA-only AMP autocast + GradScaler (script.py:63,
+training.py:95-110); bf16 needs no loss scaling because it keeps the fp32
+exponent range.
+
+Layer semantics mirror the reference components (SURVEY.md §2.1 row 4):
+Conv2d / BatchNorm2d / ReLU / MaxPool2d / AvgPool2d / Dropout /
+Flatten+Linear, including torch's default initializers and BatchNorm's 0.1
+EMA momentum and unbiased running-variance update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pytorch_ddp_resnet_tpu.ops import initializers as init_lib
+
+Shape = Tuple[int, ...]  # per-sample (H, W, C)
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Layer:
+    """Base class; subclasses override init/apply. Layers hold only static
+    hyperparameters — all tensors live in the (params, state) pytrees."""
+
+    def init(self, rng, in_shape: Shape) -> Tuple[Params, State, Shape]:
+        raise NotImplementedError
+
+    def apply(self, params: Params, state: State, x, *, train: bool, rng):
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Conv(Layer):
+    """2-D convolution, NHWC x HWIO -> NHWC (reference: torch Conv2d).
+
+    ``kernel_init='kaiming_normal'`` reproduces the reference's
+    ``_init_weights`` on top-level convs (resnet.py:160-163); the default
+    reproduces torch's kaiming_uniform(a=sqrt(5)).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: str = "torch_default"  # or "kaiming_normal"
+    compute_dtype: Any = jnp.bfloat16
+
+    def init(self, rng, in_shape: Shape):
+        h, w, c = in_shape
+        if c != self.in_channels:
+            raise ValueError(
+                f"Conv expects {self.in_channels} input channels, got {c} "
+                f"(in_shape={in_shape})."
+            )
+        k = self.kernel_size
+        fan_in = k * k * self.in_channels
+        w_rng, b_rng = jax.random.split(rng)
+        w_shape = (k, k, self.in_channels, self.out_channels)
+        if self.kernel_init == "kaiming_normal":
+            kernel = init_lib.kaiming_normal(w_rng, w_shape, fan_in)
+        else:
+            kernel = init_lib.torch_default_uniform(w_rng, w_shape, fan_in)
+        params = {"w": kernel}
+        if self.use_bias:
+            params["b"] = init_lib.torch_default_uniform(b_rng, (self.out_channels,), fan_in)
+        s, p = self.stride, self.padding
+        out_h = (h + 2 * p - k) // s + 1
+        out_w = (w + 2 * p - k) // s + 1
+        return params, {}, (out_h, out_w, self.out_channels)
+
+    def apply(self, params, state, x, *, train, rng=None):
+        cd = self.compute_dtype
+        s, p = self.stride, self.padding
+        y = lax.conv_general_dilated(
+            x.astype(cd),
+            params["w"].astype(cd),
+            window_strides=(s, s),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            y = y + params["b"].astype(jnp.float32)
+        return y.astype(cd), state
+
+
+@dataclass(frozen=True)
+class BatchNorm(Layer):
+    """BatchNorm2d over (N, H, W) with torch semantics:
+
+    - normalization uses *biased* batch variance, eps=1e-5;
+    - running stats EMA with momentum 0.1, running_var updated with the
+      *unbiased* variance (factor n/(n-1));
+    - eval mode normalizes with running stats.
+
+    Statistics are computed in fp32 regardless of compute dtype. Under
+    jit+GSPMD with a batch-sharded input, the reductions below are *global*,
+    i.e. this is cross-replica (synced) BatchNorm — a deliberate improvement
+    over the reference's per-process stats (SURVEY.md §7 "hard parts"); at
+    the reference's world sizes the accuracy effect is nil-to-positive.
+    """
+
+    num_features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    compute_dtype: Any = jnp.bfloat16
+
+    def init(self, rng, in_shape: Shape):
+        del rng
+        c = in_shape[-1]
+        if c != self.num_features:
+            raise ValueError(
+                f"BatchNorm expects {self.num_features} channels, got {c}."
+            )
+        f = self.num_features
+        params = {"scale": jnp.ones((f,), jnp.float32),
+                  "bias": jnp.zeros((f,), jnp.float32)}
+        state = {"mean": jnp.zeros((f,), jnp.float32),
+                 "var": jnp.ones((f,), jnp.float32),
+                 "count": jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32)}
+        return params, state, in_shape
+
+    def apply(self, params, state, x, *, train, rng=None):
+        xf = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            new_state = {
+                "mean": (1 - m) * state["mean"] + m * mean,
+                "var": (1 - m) * state["var"] + m * unbiased,
+                "count": state["count"] + 1,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        inv = lax.rsqrt(var + self.eps) * params["scale"]
+        y = (xf - mean) * inv + params["bias"]
+        return y.astype(self.compute_dtype), new_state
+
+
+@dataclass(frozen=True)
+class ReLU(Layer):
+    def init(self, rng, in_shape: Shape):
+        return {}, {}, in_shape
+
+    def apply(self, params, state, x, *, train, rng=None):
+        return jnp.maximum(x, 0), state
+
+
+@dataclass(frozen=True)
+class MaxPool(Layer):
+    """MaxPool2d(K, S, P); padding contributes -inf (torch semantics)."""
+
+    kernel_size: int
+    stride: int
+    padding: int = 0
+
+    def init(self, rng, in_shape: Shape):
+        h, w, c = in_shape
+        k, s, p = self.kernel_size, self.stride, self.padding
+        out_h = (h + 2 * p - k) // s + 1
+        out_w = (w + 2 * p - k) // s + 1
+        return {}, {}, (out_h, out_w, c)
+
+    def apply(self, params, state, x, *, train, rng=None):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        neg_inf = jnp.array(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        y = lax.reduce_window(
+            x, neg_inf, lax.max,
+            window_dimensions=(1, k, k, 1),
+            window_strides=(1, s, s, 1),
+            padding=[(0, 0), (p, p), (p, p), (0, 0)],
+        )
+        return y, state
+
+
+@dataclass(frozen=True)
+class AvgPool(Layer):
+    """AvgPool2d(K, S, P) with torch's default count_include_pad=True."""
+
+    kernel_size: int
+    stride: int
+    padding: int = 0
+
+    def init(self, rng, in_shape: Shape):
+        h, w, c = in_shape
+        k, s, p = self.kernel_size, self.stride, self.padding
+        out_h = (h + 2 * p - k) // s + 1
+        out_w = (w + 2 * p - k) // s + 1
+        return {}, {}, (out_h, out_w, c)
+
+    def apply(self, params, state, x, *, train, rng=None):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        y = lax.reduce_window(
+            x.astype(jnp.float32), 0.0, lax.add,
+            window_dimensions=(1, k, k, 1),
+            window_strides=(1, s, s, 1),
+            padding=[(0, 0), (p, p), (p, p), (0, 0)],
+        ) / float(k * k)
+        return y.astype(x.dtype), state
+
+
+@dataclass(frozen=True)
+class Dropout(Layer):
+    """Inverted dropout, active only in train mode (torch nn.Dropout)."""
+
+    rate: float
+
+    def init(self, rng, in_shape: Shape):
+        return {}, {}, in_shape
+
+    def apply(self, params, state, x, *, train, rng=None):
+        if not train or self.rate == 0.0:
+            return x, state
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)), state
+
+
+@dataclass(frozen=True)
+class Dense(Layer):
+    """Flatten + Linear ('fI,O' spec component; reference resnet.py:117-120).
+
+    Flatten order is NHWC-native (H, W, C); the reference flattens (C, H, W).
+    All shipped specs apply this after global pooling (1x1 spatial), where the
+    orders coincide. Divergence is only observable when porting weights for
+    specs with >1x1 pre-flatten spatial extent, which this framework does not
+    do.
+    """
+
+    in_features: int
+    out_features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    def init(self, rng, in_shape: Shape):
+        flat = 1
+        for d in in_shape:
+            flat *= d
+        if flat != self.in_features:
+            raise ValueError(
+                f"Dense expects {self.in_features} input features but the "
+                f"incoming shape {in_shape} flattens to {flat}."
+            )
+        w_rng, b_rng = jax.random.split(rng)
+        fan_in = self.in_features
+        params = {
+            "w": init_lib.torch_default_uniform(
+                w_rng, (self.in_features, self.out_features), fan_in),
+            "b": init_lib.torch_default_uniform(
+                b_rng, (self.out_features,), fan_in),
+        }
+        return params, {}, (self.out_features,)
+
+    def apply(self, params, state, x, *, train, rng=None):
+        cd = self.compute_dtype
+        xb = x.reshape(x.shape[0], -1).astype(cd)
+        y = jnp.dot(xb, params["w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+        y = y + params["b"].astype(jnp.float32)
+        return y, state  # logits stay fp32 for the loss
+
+
+@dataclass(frozen=True)
+class Sequential(Layer):
+    """Ordered composite; the model spine (reference nn.Sequential)."""
+
+    layers: Tuple[Tuple[str, Layer], ...]  # (name, layer), names unique
+
+    def init(self, rng, in_shape: Shape):
+        params, state = {}, {}
+        shape = in_shape
+        for i, (name, layer) in enumerate(self.layers):
+            p, s, shape = layer.init(jax.random.fold_in(rng, i), shape)
+            if p:
+                params[name] = p
+            if s:
+                state[name] = s
+        return params, state, shape
+
+    def apply(self, params, state, x, *, train, rng=None):
+        new_state = dict(state)
+        for i, (name, layer) in enumerate(self.layers):
+            layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
+            x, s = layer.apply(
+                params.get(name, {}), state.get(name, {}), x,
+                train=train, rng=layer_rng)
+            if s:
+                new_state[name] = s
+        return x, new_state
+
+
+def named_sequential(*layers: Layer, names: Optional[Sequence[str]] = None) -> Sequential:
+    """Build a Sequential with stable, checkpoint-friendly names like
+    '00_conv', '01_bn'."""
+    entries = []
+    for i, layer in enumerate(layers):
+        kind = type(layer).__name__.lower()
+        name = names[i] if names else f"{i:02d}_{kind}"
+        entries.append((name, layer))
+    return Sequential(tuple(entries))

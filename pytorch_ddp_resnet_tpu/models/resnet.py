@@ -1,0 +1,181 @@
+"""Spec-string-driven residual networks.
+
+Implements the reference's architecture mini-language
+(reference: resnet/architectures/resnet.py:36-58, parser at 122-158):
+
+    space-separated components from
+      cI,O,K,S,P   convolution (I in-ch, O out-ch, K kernel, S stride, P pad)
+      mpK,S,P      max pool
+      apK,S,P      average pool
+      rD           stack of D basic residual blocks
+      bD           stack of D bottleneck residual blocks
+      n            batch norm (over current channel count)
+      a            ReLU
+      fI,O         flatten + linear
+
+Rules reproduced exactly:
+  - the letter prefix is matched by ``[a-z]+`` so e.g. ``fc64,10`` (as shipped
+    in the reference configs) parses the same as ``f64,10``;
+  - a residual stack whose *previous token* is a stack of the same kind makes
+    its first block downsample 2x and double the channel count
+    (resnet.py:135-147);
+  - top-level convs get kaiming-normal weight init (resnet.py:160-163); block
+    convs keep the torch default.
+
+Divergence (documented, deliberate): a spec *starting* with ``r``/``b``
+indexes token[-1] in the reference (Python negative indexing) — here it
+simply never downsamples; no shipped or sane spec starts with a stack.
+
+The model is a pure-function pair: ``init(rng, input_shape)`` builds the
+(params, state) pytrees; ``apply`` is jit/shard/grad-friendly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_ddp_resnet_tpu.models.blocks import (
+    BottleneckResidualBlock,
+    ResidualBlock,
+)
+from pytorch_ddp_resnet_tpu.models.layers import (
+    AvgPool,
+    BatchNorm,
+    Conv,
+    Dense,
+    MaxPool,
+    ReLU,
+    Sequential,
+    Shape,
+)
+
+_COMPONENT_RE = re.compile(r"([a-z]+)((?:[0-9]+)(?:,[0-9]+)*)?$")
+
+
+def extract_ints(token: str, num: int):
+    """Parse the integer payload of a spec token (reference resnet.py:16-22)."""
+    m = _COMPONENT_RE.match(token)
+    if m is None or m.group(2) is None:
+        raise ValueError(f"Cannot parse spec component {token!r}.")
+    ints = tuple(int(v) for v in m.group(2).split(","))
+    if len(ints) != num:
+        raise ValueError(
+            f"Spec component {token!r} carries {len(ints)} ints, expected {num}."
+        )
+    return ints[0] if num == 1 else ints
+
+
+def parse_spec(
+    architecture_spec: str,
+    preact: bool,
+    use_proj: bool,
+    dropout_prob: float,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Sequential:
+    """Token list -> Sequential of layers, threading the channel count."""
+    tokens = architecture_spec.split()
+    entries: List[Tuple[str, Any]] = []
+    channels: Optional[int] = None
+    cd = compute_dtype
+
+    def block_stack(kind: str, n: int, depth: int):
+        nonlocal channels
+        downsample = n > 0 and tokens[n - 1].startswith(kind[0])
+        cin = channels
+        cout = 2 * channels if downsample else channels
+        cls = ResidualBlock if kind == "r" else BottleneckResidualBlock
+        blocks = []
+        for ell in range(depth):
+            blocks.append((
+                f"block{ell}",
+                cls(channels=cin if ell == 0 else cout,
+                    downsample=downsample if ell == 0 else False,
+                    preact=preact, use_proj=use_proj,
+                    dropout_prob=dropout_prob, compute_dtype=cd),
+            ))
+        channels = cout
+        return Sequential(tuple(blocks))
+
+    for n, tok in enumerate(tokens):
+        if tok.startswith("c"):
+            i, o, k, s, p = extract_ints(tok, 5)
+            layer = Conv(i, o, k, stride=s, padding=p, use_bias=True,
+                         kernel_init="kaiming_normal", compute_dtype=cd)
+            channels = o
+            name = f"{n:02d}_conv"
+        elif tok.startswith("mp"):
+            k, s, p = extract_ints(tok, 3)
+            layer = MaxPool(k, s, p)
+            name = f"{n:02d}_maxpool"
+        elif tok.startswith("ap"):
+            k, s, p = extract_ints(tok, 3)
+            layer = AvgPool(k, s, p)
+            name = f"{n:02d}_avgpool"
+        elif tok.startswith("r"):
+            layer = block_stack("r", n, extract_ints(tok, 1))
+            name = f"{n:02d}_stack"
+        elif tok.startswith("b"):
+            layer = block_stack("b", n, extract_ints(tok, 1))
+            name = f"{n:02d}_stack"
+        elif tok.startswith("n"):
+            layer = BatchNorm(channels, compute_dtype=cd)
+            name = f"{n:02d}_bn"
+        elif tok.startswith("a"):
+            layer = ReLU()
+            name = f"{n:02d}_relu"
+        elif tok.startswith("f"):
+            i, o = extract_ints(tok, 2)
+            layer = Dense(i, o, compute_dtype=cd)
+            name = f"{n:02d}_fc"
+        else:
+            raise ValueError(
+                f"Unknown component {tok!r} in architecture spec."
+            )
+        entries.append((name, layer))
+    return Sequential(tuple(entries))
+
+
+class ResNet:
+    """A residual network built from an architecture spec string.
+
+    Functional counterpart of the reference's ``ResNet`` nn.Module
+    (resnet.py:25-166): construction parses the spec; ``init`` creates the
+    parameter/state pytrees under an explicit PRNG key; ``apply`` runs the
+    batched NHWC forward pass.
+    """
+
+    def __init__(
+        self,
+        architecture_spec: str,
+        preact: bool,
+        use_proj: bool,
+        dropout_prob: float,
+        compute_dtype: Any = jnp.bfloat16,
+    ):
+        self.architecture_spec = architecture_spec
+        self.preact = preact
+        self.use_proj = use_proj
+        self.dropout_prob = dropout_prob
+        self.compute_dtype = compute_dtype
+        self.spine = parse_spec(
+            architecture_spec, preact, use_proj, dropout_prob, compute_dtype
+        )
+
+    def init(self, rng, input_shape: Shape):
+        """input_shape: per-sample (H, W, C). Returns (params, state)."""
+        params, state, out_shape = self.spine.init(rng, tuple(input_shape))
+        self.output_shape = out_shape
+        return params, state
+
+    def apply(self, params, state, x, *, train: bool, rng=None):
+        """x: (N, H, W, C). Returns (logits fp32, new_state)."""
+        if train and self.dropout_prob > 0.0 and rng is None:
+            raise ValueError("Training with dropout requires an rng.")
+        return self.spine.apply(params, state, x, train=train, rng=rng)
+
+    def param_count(self, params) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

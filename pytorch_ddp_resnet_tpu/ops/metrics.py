@@ -1,0 +1,58 @@
+"""Losses and classification metrics.
+
+Semantics match the reference (resnet/algos/metrics.py):
+
+- ``cross_entropy_loss``: mean softmax cross-entropy over the batch
+  (metrics.py:10-11, torch CrossEntropyLoss default reduction='mean');
+- ``top_k_err``: 1 - mean(any of the top-k predictions equals the label)
+  (metrics.py:14-18), always reported for k=1 and k=5 (metrics.py:21-29).
+
+Unlike the reference, metrics are pure jnp functions computed *inside* the
+jitted step; the cross-rank mean that ``global_means`` performed with an
+explicit all_reduce per microbatch (metrics.py:32-41) happens implicitly
+because these reductions run over globally-sharded arrays under GSPMD.
+
+Weighted variants support exact (sample-count-correct) evaluation, fixing the
+reference's approximate mean-of-padded-batch-means eval (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits, labels, weights: Optional[jnp.ndarray] = None):
+    """Mean softmax cross-entropy; logits (B, C) float, labels (B,) int."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    nll = logz - ll
+    if weights is None:
+        return jnp.mean(nll)
+    return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def top_k_err(logits, labels, k: int, weights: Optional[jnp.ndarray] = None):
+    """1 - top-k accuracy, matching torch.topk-based matching (metrics.py:14-18)."""
+    logits = logits.astype(jnp.float32)
+    _, topk_idx = jax.lax.top_k(logits, k)
+    matches = jnp.sum(topk_idx == labels[:, None], axis=-1).astype(jnp.float32)
+    if weights is None:
+        acc = jnp.mean(matches)
+    else:
+        acc = jnp.sum(matches * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+    return 1.0 - acc
+
+
+def compute_losses_and_metrics(
+    logits, labels, weights: Optional[jnp.ndarray] = None
+) -> Dict[str, jnp.ndarray]:
+    """The reference's standard metric dict (metrics.py:21-29)."""
+    return {
+        "loss": cross_entropy_loss(logits, labels, weights),
+        "top1_err": top_k_err(logits, labels, k=1, weights=weights),
+        "top5_err": top_k_err(logits, labels, k=5, weights=weights),
+    }

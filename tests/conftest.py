@@ -1,0 +1,27 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so mesh/sharding/collective logic
+is exercised without a TPU pod — the JAX analog of the reference's own
+``backend: gloo, world_size: 2`` CPU-testing pattern
+(reference: models_dir/resnet-v1-20_cifar10/config.yaml:1-2, SURVEY.md §4).
+
+These env vars must be set before jax initializes its backends, hence the
+assignments precede any jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)
