@@ -1,0 +1,110 @@
+"""Headline benchmark: CIFAR-10 WRN-28-10 training throughput, images/sec/chip.
+
+Runs the real fused train step (on-device augmentation + fwd/bwd + SGD) on
+whatever accelerator is attached, with a device-resident synthetic CIFAR-10
+train set (augmentation pipeline = the shipped wrn-28-10 config's). Prints
+ONE JSON line.
+
+``vs_baseline``: the reference (lucaslingle/pytorch_ddp_resnet) publishes no
+throughput numbers (BASELINE.md), so the denominator is a measured torch
+reference-equivalent: REFERENCE_BASELINE_IMG_S below is this repo's recorded
+estimate of the torch DDP reference's WRN-28-10 CIFAR-10 throughput on a
+single modern accelerator with AMP (~1000 img/s on V100-class hardware, the
+strongest setup the reference claims support for).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_BASELINE_IMG_S = 1000.0
+
+BATCH = 256
+WARMUP = 5
+MEASURE = 30
+
+
+def main():
+    from pytorch_ddp_resnet_tpu.algos.steps import (
+        init_train_state, make_train_step)
+    from pytorch_ddp_resnet_tpu.data.datasets import load_synthetic
+    from pytorch_ddp_resnet_tpu.data.pipeline import build_transforms
+    from pytorch_ddp_resnet_tpu.data.transforms import make_batch_augment_fn
+    from pytorch_ddp_resnet_tpu.models import ResNet
+    from pytorch_ddp_resnet_tpu.parallel.mesh import (
+        make_mesh, replicated_sharding)
+    from pytorch_ddp_resnet_tpu.utils.optim import get_optimizer
+
+    import tempfile
+
+    mesh = make_mesh()
+    n_chips = mesh.size
+
+    model = ResNet("c3,160,3,1,1 r4 r4 r4 n a ap8,1,0 fc640,10",
+                   preact=True, use_proj=True, dropout_prob=0.3,
+                   compute_dtype=jnp.bfloat16)
+    optimizer = get_optimizer("SGD", {
+        "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
+
+    ds = load_synthetic(None, train=True, n_train=4096,
+                        shape=(32, 32, 3), num_classes=10)
+    aug_spec = {
+        "ToTensorTransform": {},
+        "StandardizeWhiteningTransform": {},
+        "FlipTransform": {"p": 0.5},
+        "PaddingTransform": {"pad_size": 4, "pad_type": "mirror"},
+        "RandomCropTransform": {"crop_size": 32},
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        transforms = build_transforms(ds, aug_spec, tmp, is_train=True)
+    augment = make_batch_augment_fn(list(transforms.values()))
+
+    ts = init_train_state(model, optimizer, jax.random.key(0), (32, 32, 3))
+    ts = jax.device_put(ts, replicated_sharding(mesh))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = replicated_sharding(mesh)
+    data_x = jax.device_put(ds.x, rep)
+    data_y = jax.device_put(ds.y.astype(np.int32), rep)
+
+    base_step = make_train_step(model, optimizer, 1, augment_fn=augment)
+
+    def resident_step(ts, dx, dy, idx, lr, rng):
+        return base_step(ts, dx[idx], dy[idx], lr, rng)
+
+    step = jax.jit(resident_step, donate_argnums=0)
+
+    idx_sharding = NamedSharding(mesh, P(None, "data"))
+    rng = np.random.default_rng(0)
+
+    def batch_idx(i):
+        idx = rng.integers(0, len(ds), size=(1, BATCH)).astype(np.int32)
+        return jax.device_put(idx, idx_sharding)
+
+    for i in range(WARMUP):
+        ts, metrics = step(ts, data_x, data_y, batch_idx(i),
+                           jnp.float32(0.1), jax.random.key(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE):
+        ts, metrics = step(ts, data_x, data_y, batch_idx(i),
+                           jnp.float32(0.1), jax.random.key(1000 + i))
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    img_per_sec = MEASURE * BATCH / elapsed
+    img_per_sec_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "cifar10_wrn28_10_train_images_per_sec_per_chip",
+        "value": round(img_per_sec_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_chip / REFERENCE_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,325 @@
+"""Learning-system setup and the training loop.
+
+Single-process SPMD replacement for the reference's per-rank ``setup`` +
+``training_loop`` (reference: script.py:50-108, resnet/algos/training.py:
+31-171). The per-process rendezvous, DDP wrapper, GradScaler, and
+DistributedSampler all collapse into: one mesh, one jitted train step, one
+resident pipeline.
+
+Loop cadence parity (training.py:86-171):
+- epoch counter = checkpoint strategy's ``epoch_step`` (training.py:87-88);
+- ``train/*`` scalars + stdout print every optimizer step, ``val/*`` per
+  epoch with the epoch as the TB step (training.py:121-127, 153-159);
+- scheduler stepped per 'batch' or per 'epoch' unit, plateau schedulers fed
+  the loss (training.py:20-28, 118-119, 150-151);
+- checkpoints at batch/epoch boundaries via the strategy, saved at
+  ``global_step + 1`` (training.py:129-139, 161-171);
+- per-epoch validation via the evaluation loop (training.py:147).
+
+Known reference divergence (deliberate): the reference advances the
+strategy's counters only on rank 0, so non-zero ranks reuse the epoch-0
+shuffle forever (SURVEY.md §5.4); single-process SPMD has one strategy and
+one global shuffle, which is what the reference *intended*.
+
+Throughput design: metrics are logged with a one-step lag so the host never
+blocks on the device inside the hot loop; the only synchronous fetch happens
+when a batch-unit plateau scheduler or performance strategy genuinely needs
+the current loss.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_ddp_resnet_tpu.algos.evaluate import evaluation_loop
+from pytorch_ddp_resnet_tpu.algos.steps import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from pytorch_ddp_resnet_tpu.data.datasets import ArrayDataset, get_dataset
+from pytorch_ddp_resnet_tpu.data.pipeline import ResidentPipeline, build_transforms
+from pytorch_ddp_resnet_tpu.data.transforms import make_batch_augment_fn
+from pytorch_ddp_resnet_tpu.models.resnet import ResNet
+from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh, replicated_sharding
+from pytorch_ddp_resnet_tpu.utils import tb
+from pytorch_ddp_resnet_tpu.utils.checkpoint import (
+    PytreeCheckpointable,
+    get_checkpoint_strategy,
+    maybe_load_checkpoints,
+    save_checkpoints,
+)
+from pytorch_ddp_resnet_tpu.utils.optim import base_lr_of, get_optimizer, get_scheduler
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "float16": jnp.float16}
+
+
+def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
+    """Build the full learning system from a run config
+    (reference: script.py:50-108). Returns the dict of handles the loops
+    consume, including the restored ``global_step``."""
+    if mesh is None:
+        mesh = make_mesh()
+    world_size = config.get("world_size")
+    if world_size is not None and world_size != mesh.size and verbose:
+        print(f"Note: config world_size={world_size}, mesh has {mesh.size} "
+              f"device(s); the mesh wins (world_size is a process count in "
+              f"the reference, a device count here).")
+
+    checkpoint_dir = config.get("checkpoint_dir")
+    data_dir = config.get("data_dir")
+    dataset_cls_name = config.get("dataset_cls_name")
+
+    dataset_train = get_dataset(dataset_cls_name, data_dir, train=True)
+    dataset_test = get_dataset(dataset_cls_name, data_dir, train=False)
+    if not isinstance(dataset_train, ArrayDataset):
+        raise NotImplementedError(
+            "Streaming (folder) datasets are handled by the streaming "
+            "pipeline; resident setup supports array datasets.")
+
+    transforms_train = build_transforms(
+        dataset_train, config.get("data_aug_train"), checkpoint_dir,
+        is_train=True, verbose=verbose)
+    transforms_test = build_transforms(
+        dataset_train, config.get("data_aug_test"), checkpoint_dir,
+        is_train=False, reusable_transforms=transforms_train)
+
+    augment_fn = make_batch_augment_fn(list(transforms_train.values()))
+    test_fn = make_batch_augment_fn(list(transforms_test.values()))
+    # test transforms are deterministic in every shipped config; if a
+    # stochastic one is configured, it gets a fixed key so eval stays
+    # deterministic.
+    preprocess_fn = lambda x: test_fn(x, jax.random.key(0))  # noqa: E731
+
+    compute_dtype = _DTYPES[config.get("compute_dtype", "bfloat16")]
+    model = ResNet(
+        architecture_spec=config.get("architecture_spec"),
+        preact=config.get("preact"),
+        use_proj=config.get("use_proj"),
+        dropout_prob=config.get("dropout_prob"),
+        compute_dtype=compute_dtype,
+    )
+    optimizer = get_optimizer(
+        config.get("optimizer_cls_name"), config.get("optimizer_args"))
+    scheduler = get_scheduler(
+        config.get("scheduler_cls_name"), config.get("scheduler_args"),
+        base_lr=base_lr_of(config.get("optimizer_args")))
+    checkpoint_strategy = get_checkpoint_strategy(
+        config.get("checkpoint_strategy_cls_name"),
+        config.get("checkpoint_strategy_args"))
+
+    batch_size = config.get("batch_size")
+    num_microbatches = config.get("num_microbatches", 1)
+    pipeline = ResidentPipeline(
+        dataset_train, dataset_test, mesh,
+        batch_size=batch_size, num_microbatches=num_microbatches,
+        shuffle_seed=config.get("shuffle_seed", 0))
+
+    # The final crop shape decides the model's input shape.
+    sample_shape = tuple(transforms_train[next(reversed(transforms_train))]
+                         .output_shape) if transforms_train else \
+        dataset_train.data_shape
+    train_state = init_train_state(
+        model, optimizer, jax.random.key(config.get("seed", 0)), sample_shape)
+    train_state = jax.device_put(train_state, replicated_sharding(mesh))
+
+    # Checkpoint kinds mirror the reference's (script.py:84-94):
+    # checkpoint_strategy / classifier / optimizer / scheduler. The 'scaler'
+    # kind does not exist — bf16 needs no loss scaler (SURVEY.md §2.2).
+    classifier_ckpt = PytreeCheckpointable(
+        {"params": train_state["params"],
+         "model_state": train_state["model_state"]})
+    optimizer_ckpt = PytreeCheckpointable(train_state["opt_state"])
+    global_step = maybe_load_checkpoints(
+        checkpoint_dir,
+        {
+            "checkpoint_strategy": checkpoint_strategy,
+            "classifier": classifier_ckpt,
+            "optimizer": optimizer_ckpt,
+            "scheduler": scheduler,
+        },
+        verbose=verbose)
+    if global_step > 0:
+        train_state = jax.device_put(
+            {"params": classifier_ckpt.tree["params"],
+             "model_state": classifier_ckpt.tree["model_state"],
+             "opt_state": optimizer_ckpt.tree},
+            replicated_sharding(mesh))
+
+    return {
+        "mesh": mesh,
+        "model": model,
+        "optimizer": optimizer,
+        "scheduler": scheduler,
+        "checkpoint_strategy": checkpoint_strategy,
+        "pipeline": pipeline,
+        "augment_fn": augment_fn,
+        "preprocess_fn": preprocess_fn,
+        "train_state": train_state,
+        "global_step": global_step,
+        "num_microbatches": num_microbatches,
+    }
+
+
+def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps):
+    host_state = jax.device_get(train_state)
+    save_checkpoints(
+        checkpoint_dir,
+        {
+            "checkpoint_strategy": strategy,
+            "classifier": PytreeCheckpointable(
+                {"params": host_state["params"],
+                 "model_state": host_state["model_state"]}),
+            "optimizer": PytreeCheckpointable(host_state["opt_state"]),
+            "scheduler": scheduler,
+        },
+        steps=steps)
+
+
+def training_loop(
+    config,
+    learning_system: Dict[str, Any],
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Run training to ``max_steps`` (reference: training.py:31-171)."""
+    ls = learning_system
+    model, optimizer = ls["model"], ls["optimizer"]
+    scheduler = ls["scheduler"]
+    strategy = ls["checkpoint_strategy"]
+    pipeline = ls["pipeline"]
+    train_state = ls["train_state"]
+    global_step = ls["global_step"]
+    num_microbatches = ls["num_microbatches"]
+
+    max_steps = config.get("max_steps")
+    checkpoint_dir = config.get("checkpoint_dir")
+    log_dir = config.get("log_dir")
+    scheduler_step_unit = config.get("scheduler_step_unit", "none")
+    log_every = config.get("log_every", 1)
+    seed = config.get("seed", 0)
+
+    # Profiling (SURVEY.md §5.1: absent in the reference, first-class here):
+    # `profile_port` starts jax.profiler's trace server for live TensorBoard
+    # profiling; `profile_steps: [start, stop]` captures a programmatic trace
+    # of that step window into log_dir/plugins/profile.
+    if config.get("profile_port"):
+        jax.profiler.start_server(int(config.get("profile_port")))
+    profile_steps = config.get("profile_steps")
+
+    base_step = make_train_step(
+        model, optimizer, num_microbatches, augment_fn=ls["augment_fn"],
+        grad_reduction=config.get("microbatch_grad_reduction", "sum"))
+
+    data_x, data_y = pipeline.train_view()
+
+    def resident_step(ts, dx, dy, idx, lr, rng):
+        return base_step(ts, dx[idx], dy[idx], lr, rng)
+
+    step_fn = jax.jit(resident_step, donate_argnums=0)
+    base_eval = make_eval_step(model, ls["preprocess_fn"])
+
+    def resident_eval(params, ms, dx, dy, idx, mask):
+        return base_eval(params, ms, dx[idx], dy[idx], mask)
+
+    eval_step_fn = jax.jit(resident_eval)
+
+    writer = tb.SummaryWriter(log_dir)
+    root_rng = jax.random.key(seed)
+
+    # A synchronous loss fetch per step is only needed when a batch-unit
+    # consumer requires the fresh value.
+    strategy_needs_loss = type(strategy).__name__ == "PerformanceCheckpointStrategy"
+    sync_batch_loss = (
+        (scheduler is not None and scheduler.requires_loss
+         and scheduler_step_unit == "batch")
+        or (strategy_needs_loss and strategy.unit == "batch"))
+
+    pending = None  # (step_id, device_metrics) logged with one-step lag
+    t_start, steps_at_start = time.time(), global_step
+
+    def drain(p):
+        step_id, m = p
+        host = {k: float(v) for k, v in m.items()}
+        if verbose and (step_id % log_every == 0):
+            print(f"global step: {step_id}... loss: {host['loss']}")
+        for name, v in host.items():
+            writer.add_scalar(f"train/{name}", v, step_id)
+        return host
+
+    def done():
+        return global_step >= max_steps
+
+    while not done():
+        epoch = strategy.epoch_step
+        for idx in pipeline.train_batches(epoch):
+            lr = scheduler.get_lr() if scheduler else base_lr_of(
+                config.get("optimizer_args"))
+            rng = jax.random.fold_in(root_rng, global_step)
+            train_state, metrics = step_fn(
+                train_state, data_x, data_y, idx,
+                jnp.float32(lr), rng)
+
+            cur = (global_step, metrics)
+            if sync_batch_loss:
+                host = drain(cur)
+                loss_now = host["loss"]
+                if scheduler and scheduler_step_unit == "batch":
+                    scheduler.step(loss_now if scheduler.requires_loss else None)
+                if strategy.observe(unit="batch", loss=loss_now):
+                    _save_all(checkpoint_dir, strategy, train_state,
+                              scheduler, steps=global_step + 1)
+            else:
+                if pending is not None:
+                    drain(pending)
+                pending = cur
+                if scheduler and scheduler_step_unit == "batch":
+                    scheduler.step()
+                # In the async branch the strategy is either frequency-based
+                # or an epoch-unit performance strategy: a batch observation
+                # can't fire, so no loss fetch is needed.
+                if strategy.observe(unit="batch", loss=None):
+                    _save_all(checkpoint_dir, strategy, train_state,
+                              scheduler, steps=global_step + 1)
+
+            global_step += 1
+            if done():
+                break
+
+        if pending is not None:
+            drain(pending)
+            pending = None
+
+        # per-epoch validation (training.py:147-171)
+        val_metrics = evaluation_loop(
+            pipeline, eval_step_fn, train_state["params"],
+            train_state["model_state"])
+        val_loss = val_metrics["loss"]
+        if scheduler and scheduler_step_unit == "epoch":
+            scheduler.step(val_loss if scheduler.requires_loss else None)
+        if verbose:
+            print(f"epoch: {epoch}... validation loss: {val_loss}")
+        for name, v in val_metrics.items():
+            writer.add_scalar(f"val/{name}", v, epoch)
+        if strategy.observe(unit="epoch", loss=val_loss):
+            _save_all(checkpoint_dir, strategy, train_state, scheduler,
+                      steps=global_step + 1)
+
+    writer.close()
+    elapsed = time.time() - t_start
+    steps_done = global_step - steps_at_start
+    images_per_sec = (steps_done * config.get("batch_size") / elapsed
+                      if elapsed > 0 else float("nan"))
+    ls["train_state"] = train_state
+    ls["global_step"] = global_step
+    return {
+        "global_step": global_step,
+        "steps_done": steps_done,
+        "elapsed_s": elapsed,
+        "images_per_sec": images_per_sec,
+    }

@@ -1,0 +1,204 @@
+"""Dataset ingestion.
+
+The reference resolves ``dataset_cls_name`` over ``torchvision.datasets`` and
+iterates PIL images sample-by-sample (reference: data_util.py:27-45). TPU-
+natively, small image datasets (CIFAR) are loaded *once* into host uint8
+arrays and then live resident in device HBM — the per-step input is an index
+vector, eliminating host->device image traffic entirely (the reference pays a
+host copy per microbatch, training.py:94).
+
+Supported ``dataset_cls_name`` values:
+
+- ``CIFAR10`` / ``CIFAR100``: parsed natively from the standard python-pickle
+  archives (``cifar-10-batches-py`` / ``cifar-100-python``); downloaded on
+  first use when the environment has network access, guarded by a file lock
+  so concurrent hosts don't race (reference: data_util.py:129-130).
+- ``ImageNet``: ILSVRC-2012 in the torchvision folder layout
+  (``<root>/imagenet/{train,val}/<wnid>/*.JPEG``); listed lazily and decoded
+  on worker threads by the streaming pipeline (images have non-uniform
+  sizes, so HBM residency doesn't apply).
+- ``Synthetic``: deterministic fake CIFAR-shaped data for tests/benchmarks
+  (the reference has no offline story; SURVEY.md §4 calls for one).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+import urllib.request
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:  # optional dependency, used only to serialize downloads across ranks
+    from filelock import FileLock
+except ImportError:  # pragma: no cover
+    class FileLock:  # type: ignore
+        def __init__(self, path):
+            self.path = path
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+
+_CIFAR10_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+_CIFAR100_URL = "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz"
+
+
+@dataclass
+class ArrayDataset:
+    """An in-memory image-classification dataset: x uint8 NHWC, y int32."""
+
+    x: np.ndarray
+    y: np.ndarray
+    num_classes: int
+    name: str = "dataset"
+
+    def __post_init__(self):
+        assert self.x.ndim == 4 and self.x.dtype == np.uint8
+        assert self.y.ndim == 1 and len(self.x) == len(self.y)
+
+    def __len__(self) -> int:
+        return len(self.x)
+
+    @property
+    def data_shape(self) -> Tuple[int, int, int]:
+        return tuple(self.x.shape[1:])
+
+
+@dataclass
+class ImageFolderDataset:
+    """Lazy file-listing dataset for folder-per-class layouts (ImageNet)."""
+
+    root: str
+    paths: List[str]
+    labels: np.ndarray
+    num_classes: int
+    name: str = "imagefolder"
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+
+def _download_and_extract(url: str, data_dir: str, marker: str) -> None:
+    """Fetch + untar an archive unless the extracted marker dir exists."""
+    target = os.path.join(data_dir, marker)
+    if os.path.isdir(target):
+        return
+    os.makedirs(data_dir, exist_ok=True)
+    archive = os.path.join(data_dir, os.path.basename(url))
+    if not os.path.exists(archive):
+        print(f"Downloading {url} -> {archive}")
+        urllib.request.urlretrieve(url, archive + ".part")
+        os.replace(archive + ".part", archive)
+    with tarfile.open(archive, "r:gz") as tf:
+        tf.extractall(data_dir)
+
+
+def _load_cifar_batch(path: str):
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # -> NHWC
+    y = d.get(b"labels", d.get(b"fine_labels"))
+    return np.ascontiguousarray(x), np.asarray(y, np.int32)
+
+
+def load_cifar10(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    base = os.path.join(data_dir, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        if not download:
+            raise FileNotFoundError(f"CIFAR-10 not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "CIFAR10.lock")):
+            _download_and_extract(_CIFAR10_URL, data_dir, "cifar-10-batches-py")
+    if train:
+        parts = [_load_cifar_batch(os.path.join(base, f"data_batch_{i}"))
+                 for i in range(1, 6)]
+        x = np.concatenate([p[0] for p in parts])
+        y = np.concatenate([p[1] for p in parts])
+    else:
+        x, y = _load_cifar_batch(os.path.join(base, "test_batch"))
+    return ArrayDataset(x, y, num_classes=10, name="CIFAR10")
+
+
+def load_cifar100(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    base = os.path.join(data_dir, "cifar-100-python")
+    if not os.path.isdir(base):
+        if not download:
+            raise FileNotFoundError(f"CIFAR-100 not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "CIFAR100.lock")):
+            _download_and_extract(_CIFAR100_URL, data_dir, "cifar-100-python")
+    x, y = _load_cifar_batch(os.path.join(base, "train" if train else "test"))
+    return ArrayDataset(x, y, num_classes=100, name="CIFAR100")
+
+
+def load_synthetic(
+    data_dir: str,
+    train: bool,
+    n_train: int = 512,
+    n_test: int = 256,
+    shape: Tuple[int, int, int] = (32, 32, 3),
+    num_classes: int = 10,
+    seed: int = 0,
+) -> ArrayDataset:
+    """Deterministic fake data whose class signal is linearly recoverable, so
+    short training runs measurably reduce loss."""
+    n = n_train if train else n_test
+    rng = np.random.default_rng(seed + (0 if train else 1))
+    y = rng.integers(0, num_classes, size=(n,)).astype(np.int32)
+    x = rng.integers(0, 256, size=(n,) + tuple(shape)).astype(np.float32)
+    # plant a per-class mean shift
+    x = np.clip(x * 0.5 + y[:, None, None, None] * (128.0 / num_classes), 0, 255)
+    return ArrayDataset(x.astype(np.uint8), y, num_classes=num_classes,
+                        name="Synthetic")
+
+
+_IMG_EXTS = (".jpeg", ".jpg", ".png", ".bmp")
+
+
+def load_imagenet_folder(data_dir: str, train: bool) -> ImageFolderDataset:
+    split = "train" if train else "val"
+    root = os.path.join(data_dir, "imagenet", split)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"ImageNet (ILSVRC-2012) must be provided at {root} in the "
+            f"folder-per-class layout; it is not downloadable.")
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    paths, labels = [], []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(_IMG_EXTS):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(idx)
+    return ImageFolderDataset(
+        root=root, paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=len(classes), name="ImageNet")
+
+
+def _ensure_dir(d: str) -> str:
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_LOADERS = {
+    "CIFAR10": load_cifar10,
+    "CIFAR100": load_cifar100,
+    "Synthetic": load_synthetic,
+}
+
+
+def get_dataset(dataset_cls_name: str, data_dir: str, train: bool, **kwargs):
+    """Name-keyed dataset factory (the YAML surface of data_util.py:27-38)."""
+    if dataset_cls_name == "ImageNet":
+        return load_imagenet_folder(data_dir, train)
+    if dataset_cls_name not in _LOADERS:
+        raise ValueError(
+            f"Unknown dataset_cls_name {dataset_cls_name!r}; "
+            f"available: {sorted(_LOADERS) + ['ImageNet']}")
+    return _LOADERS[dataset_cls_name](data_dir, train, **kwargs)

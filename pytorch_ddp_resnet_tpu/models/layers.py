@@ -102,17 +102,20 @@ class Conv(Layer):
     def apply(self, params, state, x, *, train, rng=None):
         cd = self.compute_dtype
         s, p = self.stride, self.padding
+        # Inputs and kernel in compute dtype; XLA:TPU accumulates bf16 convs
+        # in fp32 on the MXU natively. (preferred_element_type=f32 would be
+        # equivalent forward but breaks the conv transpose rule's dtype
+        # matching in the backward pass.)
         y = lax.conv_general_dilated(
             x.astype(cd),
             params["w"].astype(cd),
             window_strides=(s, s),
             padding=[(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
-            y = y + params["b"].astype(jnp.float32)
-        return y.astype(cd), state
+            y = y + params["b"].astype(cd)
+        return y, state
 
 
 @dataclass(frozen=True)
@@ -288,10 +291,9 @@ class Dense(Layer):
     def apply(self, params, state, x, *, train, rng=None):
         cd = self.compute_dtype
         xb = x.reshape(x.shape[0], -1).astype(cd)
-        y = jnp.dot(xb, params["w"].astype(cd),
-                    preferred_element_type=jnp.float32)
-        y = y + params["b"].astype(jnp.float32)
-        return y, state  # logits stay fp32 for the loss
+        y = jnp.dot(xb, params["w"].astype(cd))
+        y = y.astype(jnp.float32) + params["b"].astype(jnp.float32)
+        return y, state  # logits in fp32 for the loss
 
 
 @dataclass(frozen=True)

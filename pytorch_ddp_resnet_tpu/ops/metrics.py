@@ -36,9 +36,12 @@ def cross_entropy_loss(logits, labels, weights: Optional[jnp.ndarray] = None):
 
 
 def top_k_err(logits, labels, k: int, weights: Optional[jnp.ndarray] = None):
-    """1 - top-k accuracy, matching torch.topk-based matching (metrics.py:14-18)."""
+    """1 - top-k accuracy, matching torch.topk-based matching (metrics.py:14-18).
+
+    k is clamped to the class count (the reference's unconditional top-5
+    would raise on <5-class datasets)."""
     logits = logits.astype(jnp.float32)
-    _, topk_idx = jax.lax.top_k(logits, k)
+    _, topk_idx = jax.lax.top_k(logits, min(k, logits.shape[-1]))
     matches = jnp.sum(topk_idx == labels[:, None], axis=-1).astype(jnp.float32)
     if weights is None:
         acc = jnp.mean(matches)

@@ -1,0 +1,338 @@
+"""Checkpoint system: pytree snapshots + trigger-policy strategies.
+
+Reproduces the reference's checkpoint contract
+(resnet/utils/checkpoint_util.py) on JAX pytrees:
+
+- file scheme ``{kind}_{steps}.ckpt`` in a flat checkpoint dir
+  (checkpoint_util.py:16-27);
+- newest-5-per-kind retention GC (checkpoint_util.py:44-49);
+- latest-step discovery + resume-by-default (checkpoint_util.py:30-41,52-71);
+- multi-kind load asserting all kinds restored to the same step
+  (checkpoint_util.py:88-115);
+- trigger-policy objects (Frequency/Performance) whose own counters are
+  checkpointed state (checkpoint_util.py:140-204).
+
+Storage format: a single ``.npz`` per (kind, step) holding the flattened
+pytree with '/'-joined path keys — the JAX analog of a torch ``state_dict``
+.pth. Writes are atomic (tmp file + ``os.replace``), an upgrade over the
+reference (SURVEY.md §5.2 recommends an atomic-rename protocol).
+
+Anything with ``state_dict()/load_state_dict()`` is checkpointable —
+schedulers (optim.py), strategies (below), fitted transforms (data/), and
+``PytreeCheckpointable`` wraps a raw pytree (the train state).
+"""
+
+from __future__ import annotations
+
+import abc
+import io
+import math
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+CKPT_SUFFIX = "ckpt"
+
+_NAME_RE = re.compile(r"(\w+)_([0-9]+)\.([a-z]+)$")
+
+
+def _format_name(kind: str, steps: int, suffix: str = CKPT_SUFFIX) -> str:
+    return f"{kind}_{steps}.{suffix}"
+
+
+def _parse_name(filename: str) -> Optional[Dict[str, Any]]:
+    m = _NAME_RE.match(filename)
+    if m is None:
+        return None
+    return {"kind": m.group(1), "steps": int(m.group(2)), "suffix": m.group(3)}
+
+
+def _latest_n_checkpoint_steps(base_path: str, n: int = 5, kind: str = ""):
+    if not os.path.isdir(base_path):
+        return []
+    steps = set()
+    for f in os.listdir(base_path):
+        parsed = _parse_name(f)
+        if parsed and parsed["kind"].startswith(kind):
+            steps.add(parsed["steps"])
+    return sorted(steps)[-n:]
+
+
+def _latest_step(base_path: str, kind: str = "") -> Optional[int]:
+    latest = _latest_n_checkpoint_steps(base_path, n=1, kind=kind)
+    return latest[-1] if latest else None
+
+
+def _clean(base_path: str, kind: str, n: int = 5) -> None:
+    keep = set(_latest_n_checkpoint_steps(base_path, n=n, kind=kind))
+    for fname in os.listdir(base_path):
+        parsed = _parse_name(fname)
+        if parsed and parsed["kind"] == kind and parsed["steps"] not in keep:
+            os.remove(os.path.join(base_path, fname))
+
+
+# --- pytree <-> flat dict --------------------------------------------------
+
+
+def _flatten_state(state: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    for path, leaf in leaves:
+        key = prefix + "/".join(_path_key(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_key(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    return str(entry)
+
+
+def _restore_like(template, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree with the template's structure from flat path keys,
+    asserting shape/dtype agreement (torch load_state_dict discipline)."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in paths_and_leaves:
+        key = "/".join(_path_key(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"Checkpoint is missing key {key!r}.")
+        stored = flat[key]
+        leaf_arr = np.asarray(leaf)
+        if tuple(stored.shape) != tuple(leaf_arr.shape):
+            raise ValueError(
+                f"Checkpoint key {key!r} has shape {stored.shape}, "
+                f"expected {leaf_arr.shape}.")
+        new_leaves.append(stored.astype(leaf_arr.dtype))
+    extra = set(flat) - {
+        "/".join(_path_key(p) for p in path) for path, _ in paths_and_leaves
+    }
+    if extra:
+        raise KeyError(f"Checkpoint has unexpected keys: {sorted(extra)[:5]}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class PytreeCheckpointable:
+    """state_dict protocol over a raw pytree (e.g. the train state). The
+    wrapped tree is replaced wholesale on load; read it back via ``.tree``."""
+
+    def __init__(self, tree):
+        self.tree = tree
+
+    def state_dict(self):
+        return self.tree
+
+    def load_state_dict(self, d):
+        self.tree = d
+
+
+# --- save / load -----------------------------------------------------------
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    kind_name: str,
+    checkpointable,
+    steps: int,
+    keep: int = 5,
+) -> str:
+    """Atomic save + retention GC (reference: checkpoint_util.py:74-85)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state = checkpointable.state_dict()
+    flat = _flatten_state(state)
+    path = os.path.join(checkpoint_dir, _format_name(kind_name, steps))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+    _clean(checkpoint_dir, kind_name, n=keep)
+    return path
+
+
+def maybe_load_checkpoint(
+    checkpoint_dir: str,
+    kind_name: str,
+    checkpointable,
+    steps: Optional[int] = None,
+    verbose: bool = True,
+) -> int:
+    """Load latest (or given-step) checkpoint into the checkpointable;
+    return its step, or 0 when none exists (run-from-scratch contract,
+    reference: checkpoint_util.py:52-71)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    steps_ = _latest_step(checkpoint_dir, kind_name) if steps is None else steps
+    path = (os.path.join(checkpoint_dir, _format_name(kind_name, steps_))
+            if steps_ is not None else None)
+    if path is None or not os.path.exists(path):
+        if verbose:
+            print(f"No {kind_name} checkpoint at {checkpoint_dir} "
+                  f"with step {steps}. Running from scratch.")
+        return 0
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    template = checkpointable.state_dict()
+    checkpointable.load_state_dict(_restore_like(template, flat))
+    if verbose:
+        print(f"Loaded {kind_name} checkpoint from {checkpoint_dir}, "
+              f"with step {steps_}. Continuing from checkpoint.")
+    return steps_
+
+
+def maybe_load_checkpoints(
+    checkpoint_dir: str,
+    checkpointables: Dict[str, Any],
+    steps: Optional[int] = None,
+    verbose: bool = True,
+) -> int:
+    """Multi-kind load; all present kinds must restore to the same step
+    (reference: checkpoint_util.py:88-115)."""
+    global_steps = []
+    for kind_name, checkpointable in checkpointables.items():
+        if checkpointable is None:
+            continue
+        global_steps.append(maybe_load_checkpoint(
+            checkpoint_dir, kind_name, checkpointable, steps, verbose))
+    if not global_steps:
+        return 0
+    if len(set(global_steps)) != 1:
+        raise RuntimeError(
+            f"Checkpoint steps not aligned: "
+            f"{dict(zip(checkpointables, global_steps))}")
+    return global_steps[0]
+
+
+def save_checkpoints(
+    checkpoint_dir: str,
+    checkpointables: Dict[str, Any],
+    steps: int,
+    keep: int = 5,
+) -> None:
+    for kind_name, checkpointable in checkpointables.items():
+        if checkpointable is not None:
+            save_checkpoint(checkpoint_dir, kind_name, checkpointable, steps,
+                            keep=keep)
+
+
+# --- trigger-policy strategies --------------------------------------------
+
+
+class CheckpointStrategy(abc.ABC):
+    """Stateful trigger policy; counters are checkpointed state so resume
+    continues the cadence (reference: checkpoint_util.py:140-172). The
+    strategy's ``epoch_step`` doubles as the training loop's epoch counter
+    (training.py:87-88)."""
+
+    def __init__(self, unit: str):
+        if unit not in ("batch", "epoch"):
+            raise ValueError("unit must be 'batch' or 'epoch'.")
+        self._unit = unit
+        self._batch_step = 0
+        self._epoch_step = 0
+
+    @property
+    def unit(self) -> str:
+        return self._unit
+
+    @property
+    def batch_step(self) -> int:
+        return self._batch_step
+
+    @property
+    def epoch_step(self) -> int:
+        return self._epoch_step
+
+    def step(self, unit: str) -> None:
+        if unit == "batch":
+            self._batch_step += 1
+        elif unit == "epoch":
+            self._epoch_step += 1
+        else:
+            raise ValueError("unit must be 'batch' or 'epoch'.")
+
+    @abc.abstractmethod
+    def observe(self, unit: str, **kwargs) -> bool:
+        """Observe, update counters, return checkpoint eligibility."""
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"batch_step": self._batch_step, "epoch_step": self._epoch_step}
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        self._batch_step = int(d["batch_step"])
+        self._epoch_step = int(d["epoch_step"])
+
+
+class FrequencyCheckpointStrategy(CheckpointStrategy):
+    """Fire every N of the configured unit. Reproduces the reference's
+    pre-increment modulo check (checkpoint_util.py:175-185): eligibility is
+    evaluated on the counter *before* it advances."""
+
+    def __init__(self, unit: str, frequency: int, **_ignored):
+        super().__init__(unit)
+        self._frequency = int(frequency)
+
+    def observe(self, unit: str, **kwargs) -> bool:
+        cond = getattr(self, f"{unit}_step") % self._frequency == 0
+        self.step(unit)
+        return cond if self.unit == unit else False
+
+
+class PerformanceCheckpointStrategy(CheckpointStrategy):
+    """Fire on a new lowest loss (checkpoint_util.py:188-204)."""
+
+    def __init__(self, unit: str, **_ignored):
+        super().__init__(unit)
+        self._lowest_loss = math.inf
+
+    @property
+    def lowest_loss(self) -> float:
+        return self._lowest_loss
+
+    def observe(self, unit: str, loss: Optional[float] = None, **kwargs) -> bool:
+        if self.unit != unit:
+            # Off-unit observations only advance the counter (reference
+            # 197-204 reads the loss but cannot fire or update best); a None
+            # loss is allowed here so the training loop can stay async.
+            self.step(unit)
+            return False
+        if loss is None:
+            raise ValueError("PerformanceCheckpointStrategy requires the loss.")
+        cond = loss < self._lowest_loss
+        self.step(unit)
+        if cond:
+            self._lowest_loss = float(loss)
+        return cond
+
+    def state_dict(self):
+        d = super().state_dict()
+        d["lowest_loss"] = self._lowest_loss
+        return d
+
+    def load_state_dict(self, d):
+        super().load_state_dict(d)
+        self._lowest_loss = float(d["lowest_loss"])
+
+
+_STRATEGIES = {
+    "FrequencyCheckpointStrategy": FrequencyCheckpointStrategy,
+    "PerformanceCheckpointStrategy": PerformanceCheckpointStrategy,
+}
+
+
+def get_checkpoint_strategy(
+    checkpoint_strategy_cls_name: str,
+    checkpoint_strategy_args: Optional[Dict[str, Any]] = None,
+    **_ignored,
+) -> CheckpointStrategy:
+    """Name+kwargs factory (reference: checkpoint_util.py:207-220)."""
+    if checkpoint_strategy_cls_name not in _STRATEGIES:
+        raise ValueError(
+            f"Unknown checkpoint strategy {checkpoint_strategy_cls_name!r}; "
+            f"available: {sorted(_STRATEGIES)}")
+    return _STRATEGIES[checkpoint_strategy_cls_name](
+        **(checkpoint_strategy_args or {}))

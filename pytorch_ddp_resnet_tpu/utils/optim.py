@@ -1,0 +1,409 @@
+"""Optimizers and learning-rate schedulers with torch-equivalent semantics.
+
+The reference resolves ``optimizer_cls_name`` / ``scheduler_cls_name`` by
+reflection over ``torch.optim`` / ``torch.optim.lr_scheduler``
+(reference: resnet/utils/optim_util.py:11-30), so the YAML keys are torch
+class names and kwargs. This module keeps that YAML surface but backs it with
+pure-JAX implementations that reproduce torch's update rules exactly
+(verified step-for-step against torch in tests/test_optim.py):
+
+- optimizers: SGD (momentum/dampening/nesterov/coupled weight decay exactly
+  as torch.optim.SGD, including the first-step ``buf = d_p`` special case),
+  Adam, AdamW, RMSprop;
+- schedulers: MultiStepLR, StepLR, ExponentialLR, CosineAnnealingLR,
+  LinearLR, ConstantLR, ReduceLROnPlateau, and ``'None'`` to disable
+  (optim_util.py:26-27).
+
+Design: an optimizer is a pair of pure functions over pytrees so the update
+runs *inside* the jitted train step; the learning rate is a traced scalar
+argument (schedulers run on host between steps — they are cheap, stateful,
+and checkpointable, like the reference's).
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_right
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_map(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+class Optimizer(NamedTuple):
+    """init(params) -> opt_state; update(grads, opt_state, params, lr) ->
+    (new_params, new_opt_state). lr may be a traced scalar."""
+
+    init: Callable
+    update: Callable
+
+
+def sgd(
+    lr: float = None,  # accepted for YAML compat; the live lr is fed per step
+    momentum: float = 0.0,
+    dampening: float = 0.0,
+    nesterov: bool = False,
+    weight_decay: float = 0.0,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.SGD semantics:
+
+        d_p = g + wd * p
+        buf = d_p                      (first step)
+            | mu * buf + (1-damp)*d_p  (later steps)
+        d_p = d_p + mu * buf  (nesterov)  |  buf
+        p  -= lr * d_p
+    """
+    if nesterov and (momentum <= 0 or dampening != 0):
+        raise ValueError("Nesterov momentum requires momentum > 0 and zero dampening.")
+
+    def init(params):
+        state = {"step": jnp.zeros((), jnp.int32)}
+        if momentum != 0.0:
+            state["buf"] = _tree_map(jnp.zeros_like, params)
+        return state
+
+    def update(grads, state, params, lr):
+        step = state["step"]
+        d_p = grads
+        if weight_decay != 0.0:
+            d_p = _tree_map(lambda g, p: g + weight_decay * p, d_p, params)
+        new_state = {"step": step + 1}
+        if momentum != 0.0:
+            first = step == 0
+            buf = _tree_map(
+                lambda b, d: jnp.where(first, d, momentum * b + (1.0 - dampening) * d),
+                state["buf"], d_p)
+            new_state["buf"] = buf
+            if nesterov:
+                d_p = _tree_map(lambda d, b: d + momentum * b, d_p, buf)
+            else:
+                d_p = buf
+        new_params = _tree_map(lambda p, d: p - lr * d, params, d_p)
+        return new_params, new_state
+
+    return Optimizer(init, update)
+
+
+def adam(
+    lr: float = None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    decoupled: bool = False,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.Adam (coupled wd) / AdamW (decoupled wd) semantics."""
+    b1, b2 = betas
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "m": _tree_map(jnp.zeros_like, params),
+            "v": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr):
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        if weight_decay != 0.0 and not decoupled:
+            grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        m = _tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = _tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads)
+        bc1 = 1 - b1 ** tf
+        bc2 = 1 - b2 ** tf
+
+        def upd(p, m_, v_):
+            # torch's exact op order: denom = sqrt(v)/sqrt(bc2) + eps,
+            # p -= (lr/bc1) * m / denom  (torch/optim/adam.py single-tensor path)
+            denom = jnp.sqrt(v_) / jnp.sqrt(bc2) + eps
+            step_val = (lr / bc1) * m_ / denom
+            if weight_decay != 0.0 and decoupled:
+                # torch AdamW decays the param *before* the Adam step:
+                # p *= (1 - lr*wd); then p -= step
+                p = p * (1 - lr * weight_decay)
+            return p - step_val
+
+        new_params = _tree_map(upd, params, m, v)
+        return new_params, {"step": t, "m": m, "v": v}
+
+    return Optimizer(init, update)
+
+
+def rmsprop(
+    lr: float = None,
+    alpha: float = 0.99,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    momentum: float = 0.0,
+    centered: bool = False,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.RMSprop semantics."""
+
+    def init(params):
+        state = {
+            "step": jnp.zeros((), jnp.int32),
+            "sq": _tree_map(jnp.zeros_like, params),
+        }
+        if momentum > 0:
+            state["buf"] = _tree_map(jnp.zeros_like, params)
+        if centered:
+            state["avg"] = _tree_map(jnp.zeros_like, params)
+        return state
+
+    def update(grads, state, params, lr):
+        if weight_decay != 0.0:
+            grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        sq = _tree_map(lambda s, g: alpha * s + (1 - alpha) * g * g,
+                       state["sq"], grads)
+        new_state = {"step": state["step"] + 1, "sq": sq}
+        if centered:
+            avg = _tree_map(lambda a, g: alpha * a + (1 - alpha) * g,
+                            state["avg"], grads)
+            new_state["avg"] = avg
+            denom = _tree_map(lambda s, a: jnp.sqrt(s - a * a) + eps, sq, avg)
+        else:
+            denom = _tree_map(lambda s: jnp.sqrt(s) + eps, sq)
+        if momentum > 0:
+            buf = _tree_map(lambda b, g, d: momentum * b + g / d,
+                            state["buf"], grads, denom)
+            new_state["buf"] = buf
+            new_params = _tree_map(lambda p, b: p - lr * b, params, buf)
+        else:
+            new_params = _tree_map(lambda p, g, d: p - lr * g / d,
+                                   params, grads, denom)
+        return new_params, new_state
+
+    return Optimizer(init, update)
+
+
+_OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
+    "SGD": sgd,
+    "Adam": lambda **kw: adam(decoupled=False, **kw),
+    "AdamW": lambda **kw: adam(
+        decoupled=True,
+        **{**{"weight_decay": 0.01}, **kw}),  # torch AdamW default wd
+    "RMSprop": rmsprop,
+}
+
+
+def get_optimizer(
+    optimizer_cls_name: str,
+    optimizer_args: Optional[Dict[str, Any]] = None,
+    **_ignored,
+) -> Optimizer:
+    """Name+kwargs factory (reference: optim_util.py:11-18). The ``lr`` kwarg
+    sets the scheduler base rate; retrieve it with ``base_lr_of``."""
+    args = dict(optimizer_args or {})
+    if optimizer_cls_name not in _OPTIMIZERS:
+        raise ValueError(
+            f"Unknown optimizer {optimizer_cls_name!r}; "
+            f"available: {sorted(_OPTIMIZERS)}")
+    return _OPTIMIZERS[optimizer_cls_name](**args)
+
+
+def base_lr_of(optimizer_args: Optional[Dict[str, Any]]) -> float:
+    if not optimizer_args or "lr" not in optimizer_args:
+        raise ValueError("optimizer_args must carry an 'lr' key.")
+    return float(optimizer_args["lr"])
+
+
+# ---------------------------------------------------------------------------
+# Schedulers: host-side, stateful, checkpointable.
+# ---------------------------------------------------------------------------
+
+
+class LRScheduler:
+    """Base: counts ``step()`` calls like torch's ``last_epoch``. ``get_lr()``
+    returns the rate for the *next* optimizer step. The unit (batch vs epoch)
+    is the caller's business (``scheduler_step_unit``, training.py:118-119,
+    150-151)."""
+
+    requires_loss = False  # ReduceLROnPlateau overrides (training.py:20-28)
+
+    def __init__(self, base_lr: float):
+        self.base_lr = float(base_lr)
+        self.last_epoch = 0
+
+    def step(self, loss: Optional[float] = None) -> None:
+        del loss
+        self.last_epoch += 1
+
+    def get_lr(self) -> float:
+        raise NotImplementedError
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"last_epoch": self.last_epoch}
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        self.last_epoch = int(d["last_epoch"])
+
+
+class MultiStepLR(LRScheduler):
+    def __init__(self, base_lr, milestones, gamma=0.1, **_ignored):
+        super().__init__(base_lr)
+        self.milestones = sorted(int(m) for m in milestones)
+        self.gamma = float(gamma)
+
+    def get_lr(self) -> float:
+        return self.base_lr * self.gamma ** bisect_right(self.milestones, self.last_epoch)
+
+
+class StepLR(LRScheduler):
+    def __init__(self, base_lr, step_size, gamma=0.1, **_ignored):
+        super().__init__(base_lr)
+        self.step_size = int(step_size)
+        self.gamma = float(gamma)
+
+    def get_lr(self) -> float:
+        return self.base_lr * self.gamma ** (self.last_epoch // self.step_size)
+
+
+class ExponentialLR(LRScheduler):
+    def __init__(self, base_lr, gamma, **_ignored):
+        super().__init__(base_lr)
+        self.gamma = float(gamma)
+
+    def get_lr(self) -> float:
+        return self.base_lr * self.gamma ** self.last_epoch
+
+
+class CosineAnnealingLR(LRScheduler):
+    def __init__(self, base_lr, T_max, eta_min=0.0, **_ignored):
+        super().__init__(base_lr)
+        self.T_max = int(T_max)
+        self.eta_min = float(eta_min)
+
+    def get_lr(self) -> float:
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.last_epoch / self.T_max)) / 2
+
+
+class LinearLR(LRScheduler):
+    def __init__(self, base_lr, start_factor=1.0 / 3, end_factor=1.0,
+                 total_iters=5, **_ignored):
+        super().__init__(base_lr)
+        self.start_factor = float(start_factor)
+        self.end_factor = float(end_factor)
+        self.total_iters = int(total_iters)
+
+    def get_lr(self) -> float:
+        t = min(self.last_epoch, self.total_iters)
+        factor = self.start_factor + (self.end_factor - self.start_factor) * (
+            t / self.total_iters)
+        return self.base_lr * factor
+
+
+class ConstantLR(LRScheduler):
+    def __init__(self, base_lr, factor=1.0 / 3, total_iters=5, **_ignored):
+        super().__init__(base_lr)
+        self.factor = float(factor)
+        self.total_iters = int(total_iters)
+
+    def get_lr(self) -> float:
+        return self.base_lr * (self.factor if self.last_epoch < self.total_iters else 1.0)
+
+
+class ReduceLROnPlateau(LRScheduler):
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (min/max modes,
+    rel/abs threshold, patience, cooldown, min_lr). The reference passes the
+    loss through ``step_scheduler`` (training.py:24-28)."""
+
+    requires_loss = True
+
+    def __init__(self, base_lr, mode="min", factor=0.1, patience=10,
+                 threshold=1e-4, threshold_mode="rel", cooldown=0,
+                 min_lr=0.0, **_ignored):
+        super().__init__(base_lr)
+        if mode not in ("min", "max") or threshold_mode not in ("rel", "abs"):
+            raise ValueError("Bad mode/threshold_mode.")
+        self.mode = mode
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.threshold_mode = threshold_mode
+        self.cooldown = int(cooldown)
+        self.min_lr = float(min_lr)
+        self.current_lr = float(base_lr)
+        self.best = math.inf if mode == "min" else -math.inf
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, value: float) -> bool:
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return value < self.best * (1 - self.threshold)
+            return value < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return value > self.best * (1 + self.threshold)
+        return value > self.best + self.threshold
+
+    def step(self, loss: Optional[float] = None) -> None:
+        if loss is None:
+            raise ValueError("ReduceLROnPlateau.step requires the loss.")
+        value = float(loss)
+        self.last_epoch += 1
+        if self._is_better(value):
+            self.best = value
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.current_lr = max(self.current_lr * self.factor, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+
+    def get_lr(self) -> float:
+        return self.current_lr
+
+    def state_dict(self):
+        return {
+            "last_epoch": self.last_epoch,
+            "current_lr": self.current_lr,
+            "best": self.best,
+            "num_bad_epochs": self.num_bad_epochs,
+            "cooldown_counter": self.cooldown_counter,
+        }
+
+    def load_state_dict(self, d):
+        self.last_epoch = int(d["last_epoch"])
+        self.current_lr = float(d["current_lr"])
+        self.best = float(d["best"])
+        self.num_bad_epochs = int(d["num_bad_epochs"])
+        self.cooldown_counter = int(d["cooldown_counter"])
+
+
+_SCHEDULERS = {
+    "MultiStepLR": MultiStepLR,
+    "StepLR": StepLR,
+    "ExponentialLR": ExponentialLR,
+    "CosineAnnealingLR": CosineAnnealingLR,
+    "LinearLR": LinearLR,
+    "ConstantLR": ConstantLR,
+    "ReduceLROnPlateau": ReduceLROnPlateau,
+}
+
+
+def get_scheduler(
+    scheduler_cls_name: str,
+    scheduler_args: Optional[Dict[str, Any]],
+    base_lr: float,
+    **_ignored,
+) -> Optional[LRScheduler]:
+    """Name+kwargs factory; 'None' disables (reference: optim_util.py:21-30)."""
+    if scheduler_cls_name in (None, "None"):
+        return None
+    if scheduler_cls_name not in _SCHEDULERS:
+        raise ValueError(
+            f"Unknown scheduler {scheduler_cls_name!r}; "
+            f"available: {sorted(_SCHEDULERS)} or 'None'")
+    return _SCHEDULERS[scheduler_cls_name](base_lr, **(scheduler_args or {}))

@@ -1,0 +1,149 @@
+"""Checkpoint system tests (reference behaviors: checkpoint_util.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_ddp_resnet_tpu.utils import checkpoint as ckpt
+
+
+def _tree(v=0.0):
+    return {"params": {"w": jnp.full((3, 2), v), "b": jnp.zeros((2,))},
+            "opt": {"step": jnp.zeros((), jnp.int32)}}
+
+
+def test_name_format_and_parse():
+    assert ckpt._format_name("classifier", 120) == "classifier_120.ckpt"
+    parsed = ckpt._parse_name("classifier_120.ckpt")
+    assert parsed == {"kind": "classifier", "steps": 120, "suffix": "ckpt"}
+    assert ckpt._parse_name("notacheckpoint") is None
+
+
+def test_save_load_roundtrip(tmp_path):
+    d = str(tmp_path)
+    c = ckpt.PytreeCheckpointable(_tree(1.5))
+    ckpt.save_checkpoint(d, "state", c, steps=7)
+    c2 = ckpt.PytreeCheckpointable(_tree(0.0))
+    step = ckpt.maybe_load_checkpoint(d, "state", c2, verbose=False)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(c2.tree["params"]["w"]), 1.5)
+
+
+def test_load_missing_returns_zero(tmp_path):
+    c = ckpt.PytreeCheckpointable(_tree())
+    assert ckpt.maybe_load_checkpoint(str(tmp_path), "none", c, verbose=False) == 0
+
+
+def test_latest_step_discovery_and_retention(tmp_path):
+    d = str(tmp_path)
+    c = ckpt.PytreeCheckpointable(_tree())
+    for s in [1, 5, 3, 9, 7, 11, 2]:
+        ckpt.save_checkpoint(d, "state", c, steps=s)
+    files = sorted(os.listdir(d))
+    # newest 5 by step kept: {3,5,7,9,11}
+    assert files == [f"state_{s}.ckpt" for s in [11, 3, 5, 7, 9]] or set(
+        files) == {f"state_{s}.ckpt" for s in [3, 5, 7, 9, 11]}
+    c2 = ckpt.PytreeCheckpointable(_tree())
+    assert ckpt.maybe_load_checkpoint(d, "state", c2, verbose=False) == 11
+    # explicit step load
+    assert ckpt.maybe_load_checkpoint(d, "state", c2, steps=7, verbose=False) == 7
+
+
+def test_multi_kind_alignment(tmp_path):
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    b = ckpt.PytreeCheckpointable(_tree(2.0))
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=4)
+    a2, b2 = ckpt.PytreeCheckpointable(_tree()), ckpt.PytreeCheckpointable(_tree())
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": a2, "b": b2, "skipped": None}, verbose=False) == 4
+    # misaligned: bump only one kind
+    ckpt.save_checkpoint(d, "a", a, steps=5)
+    with pytest.raises(RuntimeError, match="not aligned"):
+        ckpt.maybe_load_checkpoints(
+            d, {"a": ckpt.PytreeCheckpointable(_tree()),
+                "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False)
+
+
+def test_shape_mismatch_rejected(tmp_path):
+    d = str(tmp_path)
+    c = ckpt.PytreeCheckpointable({"w": jnp.zeros((3,))})
+    ckpt.save_checkpoint(d, "state", c, steps=1)
+    bad = ckpt.PytreeCheckpointable({"w": jnp.zeros((4,))})
+    with pytest.raises(ValueError, match="shape"):
+        ckpt.maybe_load_checkpoint(d, "state", bad, verbose=False)
+
+
+def test_structure_mismatch_rejected(tmp_path):
+    d = str(tmp_path)
+    c = ckpt.PytreeCheckpointable({"w": jnp.zeros((3,)), "extra": jnp.zeros(())})
+    ckpt.save_checkpoint(d, "state", c, steps=1)
+    missing = ckpt.PytreeCheckpointable({"w": jnp.zeros((3,))})
+    with pytest.raises(KeyError, match="unexpected"):
+        ckpt.maybe_load_checkpoint(d, "state", missing, verbose=False)
+
+
+def test_atomicity_no_tmp_left(tmp_path):
+    d = str(tmp_path)
+    c = ckpt.PytreeCheckpointable(_tree())
+    ckpt.save_checkpoint(d, "state", c, steps=1)
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+
+# --- strategies -------------------------------------------------------------
+
+
+def test_frequency_strategy_batch_unit():
+    s = ckpt.get_checkpoint_strategy(
+        "FrequencyCheckpointStrategy", {"unit": "batch", "frequency": 3})
+    fired = [s.observe(unit="batch") for _ in range(7)]
+    # pre-increment modulo: counter 0,1,2,... -> fires at 0,3,6
+    assert fired == [True, False, False, True, False, False, True]
+    assert s.batch_step == 7
+    # observing the other unit advances its counter but never fires
+    assert s.observe(unit="epoch") is False
+    assert s.epoch_step == 1
+
+
+def test_frequency_strategy_epoch_unit_counts_both():
+    s = ckpt.get_checkpoint_strategy(
+        "FrequencyCheckpointStrategy", {"unit": "epoch", "frequency": 1})
+    for _ in range(10):
+        assert s.observe(unit="batch") is False
+    assert s.observe(unit="epoch") is True
+    assert (s.batch_step, s.epoch_step) == (10, 1)
+
+
+def test_performance_strategy():
+    s = ckpt.get_checkpoint_strategy(
+        "PerformanceCheckpointStrategy", {"unit": "epoch"})
+    assert s.observe(unit="epoch", loss=1.0) is True
+    assert s.observe(unit="epoch", loss=1.5) is False
+    assert s.observe(unit="epoch", loss=0.5) is True
+    assert s.lowest_loss == 0.5
+    # other unit: state advances, best is NOT updated (reference 197-204)
+    assert s.observe(unit="batch", loss=0.1) is False
+    assert s.lowest_loss == 0.5
+
+
+def test_strategy_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path)
+    s = ckpt.get_checkpoint_strategy(
+        "PerformanceCheckpointStrategy", {"unit": "epoch"})
+    s.observe(unit="epoch", loss=0.7)
+    s.observe(unit="batch", loss=0.9)
+    ckpt.save_checkpoint(d, "checkpoint_strategy", s, steps=3)
+    s2 = ckpt.get_checkpoint_strategy(
+        "PerformanceCheckpointStrategy", {"unit": "epoch"})
+    assert ckpt.maybe_load_checkpoint(d, "checkpoint_strategy", s2,
+                                      verbose=False) == 3
+    assert s2.epoch_step == 1 and s2.batch_step == 1
+    assert s2.lowest_loss == 0.7
+
+
+def test_unknown_strategy():
+    with pytest.raises(ValueError):
+        ckpt.get_checkpoint_strategy("Nope", {})

@@ -1,0 +1,208 @@
+"""Optimizer/scheduler parity tests against torch.optim itself.
+
+The reference resolves optimizers/schedulers from torch by name
+(optim_util.py:11-30); our implementations must reproduce torch's update
+rules. torch (CPU) is available in the test environment, so we compare
+trajectories step-for-step rather than trusting re-derived formulas."""
+
+import numpy as np
+import pytest
+import torch as tc
+
+import jax.numpy as jnp
+
+from pytorch_ddp_resnet_tpu.utils import optim as optim_lib
+
+
+def _run_torch_opt(make_opt, grads_seq, p0, lrs):
+    p = tc.nn.Parameter(tc.tensor(p0.copy()))
+    opt = make_opt([p])
+    out = []
+    for g, lr in zip(grads_seq, lrs):
+        for group in opt.param_groups:
+            group["lr"] = lr
+        p.grad = tc.tensor(g)
+        opt.step()
+        out.append(p.detach().numpy().copy())
+    return out
+
+
+def _run_ours(opt, grads_seq, p0, lrs):
+    import jax
+
+    params = {"p": jnp.asarray(p0)}
+    state = opt.init(params)
+    update = jax.jit(opt.update)
+    out = []
+    for g, lr in zip(grads_seq, lrs):
+        params, state = update({"p": jnp.asarray(g)}, state, params,
+                               jnp.float32(lr))
+        out.append(np.asarray(params["p"]))
+    return out
+
+
+def _compare(make_torch, ours, steps=7, tol=1e-5):
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(steps)]
+    lrs = [0.1, 0.1, 0.05, 0.05, 0.05, 0.01, 0.01][:steps]
+    ref = _run_torch_opt(make_torch, grads, p0, lrs)
+    got = _run_ours(ours, grads, p0, lrs)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=tol, atol=tol,
+                                   err_msg=f"diverged at step {i}")
+
+
+SGD_CASES = [
+    dict(momentum=0.0, dampening=0.0, nesterov=False, weight_decay=0.0),
+    dict(momentum=0.9, dampening=0.0, nesterov=False, weight_decay=0.0),
+    dict(momentum=0.9, dampening=0.0, nesterov=False, weight_decay=1e-4),
+    dict(momentum=0.9, dampening=0.5, nesterov=False, weight_decay=1e-4),
+    dict(momentum=0.9, dampening=0.0, nesterov=True, weight_decay=5e-4),
+]
+
+
+@pytest.mark.parametrize("kw", SGD_CASES)
+def test_sgd_matches_torch(kw):
+    _compare(
+        lambda ps: tc.optim.SGD(ps, lr=0.1, **kw),
+        optim_lib.sgd(**kw),
+    )
+
+
+def test_sgd_factory_and_yaml_args():
+    opt = optim_lib.get_optimizer("SGD", {
+        "lr": 0.1, "momentum": 0.9, "dampening": 0.0,
+        "nesterov": True, "weight_decay": 0.0005})
+    _compare(
+        lambda ps: tc.optim.SGD(ps, lr=0.1, momentum=0.9, nesterov=True,
+                                weight_decay=0.0005),
+        opt,
+    )
+    assert optim_lib.base_lr_of({"lr": 0.1}) == 0.1
+    with pytest.raises(ValueError):
+        optim_lib.get_optimizer("NoSuchOpt", {})
+    with pytest.raises(ValueError):
+        optim_lib.sgd(momentum=0.9, dampening=0.5, nesterov=True)
+
+
+def test_adam_matches_torch():
+    _compare(lambda ps: tc.optim.Adam(ps, lr=0.1),
+             optim_lib.get_optimizer("Adam", {"lr": 0.1}), tol=1e-4)
+    _compare(lambda ps: tc.optim.Adam(ps, lr=0.1, weight_decay=0.01),
+             optim_lib.get_optimizer("Adam", {"lr": 0.1, "weight_decay": 0.01}),
+             tol=1e-4)
+
+
+def test_adamw_matches_torch():
+    _compare(lambda ps: tc.optim.AdamW(ps, lr=0.1),
+             optim_lib.get_optimizer("AdamW", {"lr": 0.1}), tol=1e-4)
+    _compare(lambda ps: tc.optim.AdamW(ps, lr=0.1, weight_decay=0.1),
+             optim_lib.get_optimizer("AdamW", {"lr": 0.1, "weight_decay": 0.1}),
+             tol=1e-4)
+
+
+def test_rmsprop_matches_torch():
+    _compare(lambda ps: tc.optim.RMSprop(ps, lr=0.1),
+             optim_lib.get_optimizer("RMSprop", {"lr": 0.1}), tol=1e-4)
+    _compare(lambda ps: tc.optim.RMSprop(ps, lr=0.1, momentum=0.9, centered=True),
+             optim_lib.get_optimizer(
+                 "RMSprop", {"lr": 0.1, "momentum": 0.9, "centered": True}),
+             tol=1e-4)
+
+
+# --- schedulers -------------------------------------------------------------
+
+
+def _torch_lr_sequence(make_sched, n, losses=None):
+    p = tc.nn.Parameter(tc.zeros(1))
+    opt = tc.optim.SGD([p], lr=0.1)
+    sched = make_sched(opt)
+    lrs = []
+    for i in range(n):
+        lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        if losses is not None:
+            sched.step(losses[i])
+        else:
+            sched.step()
+    return lrs
+
+
+def _our_lr_sequence(sched, n, losses=None):
+    lrs = []
+    for i in range(n):
+        lrs.append(sched.get_lr())
+        sched.step(losses[i] if losses is not None else None)
+    return lrs
+
+
+SCHED_CASES = [
+    ("MultiStepLR", {"milestones": [3, 6, 8], "gamma": 0.1},
+     lambda opt: tc.optim.lr_scheduler.MultiStepLR(opt, [3, 6, 8], gamma=0.1)),
+    ("MultiStepLR", {"milestones": [32000, 48000], "gamma": 0.1},
+     lambda opt: tc.optim.lr_scheduler.MultiStepLR(opt, [32000, 48000], gamma=0.1)),
+    ("StepLR", {"step_size": 4, "gamma": 0.5},
+     lambda opt: tc.optim.lr_scheduler.StepLR(opt, 4, gamma=0.5)),
+    ("ExponentialLR", {"gamma": 0.9},
+     lambda opt: tc.optim.lr_scheduler.ExponentialLR(opt, 0.9)),
+    ("CosineAnnealingLR", {"T_max": 10, "eta_min": 0.001},
+     lambda opt: tc.optim.lr_scheduler.CosineAnnealingLR(opt, 10, eta_min=0.001)),
+    ("LinearLR", {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 5},
+     lambda opt: tc.optim.lr_scheduler.LinearLR(opt, 0.25, 1.0, 5)),
+    ("ConstantLR", {"factor": 0.5, "total_iters": 4},
+     lambda opt: tc.optim.lr_scheduler.ConstantLR(opt, 0.5, 4)),
+]
+
+
+@pytest.mark.parametrize("name,args,make_torch", SCHED_CASES)
+def test_scheduler_lr_sequence_matches_torch(name, args, make_torch):
+    n = 12
+    ref = _torch_lr_sequence(make_torch, n)
+    ours = optim_lib.get_scheduler(name, args, base_lr=0.1)
+    got = _our_lr_sequence(ours, n)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, err_msg=name)
+
+
+def test_plateau_matches_torch():
+    losses = [1.0, 0.9, 0.9, 0.9, 0.89999, 0.95, 0.94, 1.2, 1.1, 0.5,
+              0.5, 0.5, 0.5, 0.6, 0.7, 0.4, 0.4, 0.4, 0.41, 0.42]
+    args = {"mode": "min", "factor": 0.5, "patience": 2, "threshold": 1e-3,
+            "cooldown": 1, "min_lr": 1e-3}
+    ref = _torch_lr_sequence(
+        lambda opt: tc.optim.lr_scheduler.ReduceLROnPlateau(opt, **args),
+        len(losses), losses=losses)
+    ours = optim_lib.get_scheduler("ReduceLROnPlateau", args, base_lr=0.1)
+    assert ours.requires_loss
+    got = _our_lr_sequence(ours, len(losses), losses=losses)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_scheduler_none_and_unknown():
+    assert optim_lib.get_scheduler("None", None, base_lr=0.1) is None
+    assert optim_lib.get_scheduler(None, None, base_lr=0.1) is None
+    with pytest.raises(ValueError):
+        optim_lib.get_scheduler("Nope", {}, base_lr=0.1)
+
+
+def test_scheduler_checkpoint_roundtrip():
+    s = optim_lib.get_scheduler(
+        "MultiStepLR", {"milestones": [3, 6], "gamma": 0.1}, base_lr=0.1)
+    for _ in range(4):
+        s.step()
+    d = s.state_dict()
+    s2 = optim_lib.get_scheduler(
+        "MultiStepLR", {"milestones": [3, 6], "gamma": 0.1}, base_lr=0.1)
+    s2.load_state_dict(d)
+    assert s2.get_lr() == s.get_lr()
+
+    p = optim_lib.get_scheduler(
+        "ReduceLROnPlateau", {"patience": 0, "factor": 0.5}, base_lr=0.1)
+    p.step(1.0)
+    p.step(2.0)  # worse -> reduce
+    d = p.state_dict()
+    p2 = optim_lib.get_scheduler(
+        "ReduceLROnPlateau", {"patience": 0, "factor": 0.5}, base_lr=0.1)
+    p2.load_state_dict(d)
+    assert p2.get_lr() == p.get_lr() == pytest.approx(0.05)
+    assert p2.best == p.best

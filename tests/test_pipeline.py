@@ -1,0 +1,76 @@
+"""Sampler/pipeline tests: epoch shuffling, padding, exact eval coverage."""
+
+import numpy as np
+import pytest
+
+from pytorch_ddp_resnet_tpu.data.datasets import get_dataset, load_synthetic
+from pytorch_ddp_resnet_tpu.data.pipeline import (
+    EpochSampler,
+    ResidentPipeline,
+    SequentialEvalSampler,
+)
+from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh
+
+
+def test_epoch_sampler_covers_and_pads():
+    s = EpochSampler(n=100, global_batch=32, num_microbatches=2, seed=0)
+    assert s.batches_per_epoch == 4  # ceil(100/32) = 4 -> 128 slots
+    idx = s.epoch_indices(epoch=0)
+    assert idx.shape == (4, 2, 16)
+    flat = idx.reshape(-1)
+    # every sample seen at least once; pad wraps the permutation head
+    assert set(flat.tolist()) == set(range(100))
+    counts = np.bincount(flat, minlength=100)
+    assert counts.max() == 2 and (counts == 2).sum() == 28
+
+
+def test_epoch_sampler_shuffles_per_epoch_deterministically():
+    s = EpochSampler(n=64, global_batch=32, seed=0)
+    e0a = s.epoch_indices(0)
+    e0b = s.epoch_indices(0)
+    e1 = s.epoch_indices(1)
+    np.testing.assert_array_equal(e0a, e0b)  # resume-reproducible
+    assert not np.array_equal(e0a, e1)       # reshuffled across epochs
+    s2 = EpochSampler(n=64, global_batch=32, seed=1)
+    assert not np.array_equal(e0a, s2.epoch_indices(0))  # seed-sensitive
+
+
+def test_epoch_sampler_validates():
+    with pytest.raises(ValueError):
+        EpochSampler(n=10, global_batch=32, num_microbatches=3)
+    with pytest.raises(ValueError):
+        EpochSampler(n=0, global_batch=8)
+
+
+def test_eval_sampler_exact_mask():
+    s = SequentialEvalSampler(n=70, global_batch=32)
+    batches = list(s.batches())
+    assert len(batches) == 3
+    total_valid = sum(int(m.sum()) for _, m in batches)
+    assert total_valid == 70
+    seen = np.concatenate([i[m.astype(bool)] for i, m in batches])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(70))
+    # padded slots point at a valid index (clamped), never out of bounds
+    for i, _ in batches:
+        assert i.max() < 70 and i.min() >= 0
+
+
+def test_resident_pipeline_shapes():
+    mesh = make_mesh()
+    tr = load_synthetic(None, train=True, n_train=96)
+    te = load_synthetic(None, train=False, n_test=40)
+    p = ResidentPipeline(tr, te, mesh, batch_size=32, num_microbatches=2)
+    assert p.steps_per_epoch == 3
+    batches = list(p.train_batches(epoch=0))
+    assert len(batches) == 3
+    assert batches[0].shape == (2, 16)
+    evals = list(p.eval_batches())
+    assert sum(int(np.asarray(m).sum()) for _, m in evals) == 40
+
+
+def test_synthetic_dataset_registry():
+    ds = get_dataset("Synthetic", data_dir=None, train=True)
+    assert ds.data_shape == (32, 32, 3)
+    assert ds.x.dtype == np.uint8
+    with pytest.raises(ValueError):
+        get_dataset("NoSuchDataset", data_dir=None, train=True)
