@@ -9,7 +9,7 @@ reference's (loss, top1_err, top5_err).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 
@@ -19,13 +19,13 @@ from pytorch_ddp_resnet_tpu.algos.steps import finalize_eval_metrics
 def evaluation_loop(pipeline, eval_step_fn, params, model_state) -> Dict[str, float]:
     """Evaluate over the pipeline's test split; returns exact global means.
 
-    ``eval_step_fn`` is the resident variant
-    (params, model_state, data_x, data_y, idx, mask) -> metric sums, so the
-    batch gather happens inside the compiled step."""
-    data_x, data_y = pipeline.test_view()
+    ``eval_step_fn`` is the pipeline-bound jitted step: it takes
+    (params, model_state, *feed) where ``feed`` comes from
+    ``pipeline.eval_feed()`` — (idx, mask) for the resident pipeline,
+    (x, y, mask) for the streaming one."""
     totals = None
-    for idx, mask in pipeline.eval_batches():
-        sums = eval_step_fn(params, model_state, data_x, data_y, idx, mask)
+    for feed in pipeline.eval_feed():
+        sums = eval_step_fn(params, model_state, *feed)
         if totals is None:
             totals = sums
         else:

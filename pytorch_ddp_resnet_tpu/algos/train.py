@@ -78,24 +78,45 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
 
     dataset_train = get_dataset(dataset_cls_name, data_dir, train=True)
     dataset_test = get_dataset(dataset_cls_name, data_dir, train=False)
-    if not isinstance(dataset_train, ArrayDataset):
-        raise NotImplementedError(
-            "Streaming (folder) datasets are handled by the streaming "
-            "pipeline; resident setup supports array datasets.")
 
-    transforms_train = build_transforms(
-        dataset_train, config.get("data_aug_train"), checkpoint_dir,
-        is_train=True, verbose=verbose)
-    transforms_test = build_transforms(
-        dataset_train, config.get("data_aug_test"), checkpoint_dir,
-        is_train=False, reusable_transforms=transforms_train)
+    batch_size = config.get("batch_size")
+    num_microbatches = config.get("num_microbatches", 1)
 
-    augment_fn = make_batch_augment_fn(list(transforms_train.values()))
-    test_fn = make_batch_augment_fn(list(transforms_test.values()))
-    # test transforms are deterministic in every shipped config; if a
-    # stochastic one is configured, it gets a fixed key so eval stays
-    # deterministic.
-    preprocess_fn = lambda x: test_fn(x, jax.random.key(0))  # noqa: E731
+    if isinstance(dataset_train, ArrayDataset):
+        # Resident path: dataset in HBM, augmentation fused into the step.
+        transforms_train = build_transforms(
+            dataset_train, config.get("data_aug_train"), checkpoint_dir,
+            is_train=True, verbose=verbose)
+        transforms_test = build_transforms(
+            dataset_train, config.get("data_aug_test"), checkpoint_dir,
+            is_train=False, reusable_transforms=transforms_train)
+        augment_fn = make_batch_augment_fn(list(transforms_train.values()))
+        test_fn = make_batch_augment_fn(list(transforms_test.values()))
+        # test transforms are deterministic in every shipped config; if a
+        # stochastic one is configured, it gets a fixed key so eval stays
+        # deterministic.
+        preprocess_fn = lambda x: test_fn(x, jax.random.key(0))  # noqa: E731
+        pipeline = ResidentPipeline(
+            dataset_train, dataset_test, mesh,
+            batch_size=batch_size, num_microbatches=num_microbatches,
+            shuffle_seed=config.get("shuffle_seed", 0))
+        sample_shape = tuple(
+            transforms_train[next(reversed(transforms_train))].output_shape
+        ) if transforms_train else dataset_train.data_shape
+    else:
+        # Streaming path: host decode/scale/crop workers + device suffix.
+        from pytorch_ddp_resnet_tpu.data.streaming import build_streaming_data
+
+        pipeline, augment_fn, preprocess_fn, sample_shape = (
+            build_streaming_data(
+                dataset_train, dataset_test,
+                config.get("data_aug_train"), config.get("data_aug_test"),
+                checkpoint_dir, mesh,
+                batch_size=batch_size, num_microbatches=num_microbatches,
+                num_workers=config.get("data_workers", 8),
+                shuffle_seed=config.get("shuffle_seed", 0),
+                fit_sample_limit=config.get("fit_sample_limit", 65536),
+                verbose=verbose))
 
     compute_dtype = _DTYPES[config.get("compute_dtype", "bfloat16")]
     model = ResNet(
@@ -114,17 +135,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         config.get("checkpoint_strategy_cls_name"),
         config.get("checkpoint_strategy_args"))
 
-    batch_size = config.get("batch_size")
-    num_microbatches = config.get("num_microbatches", 1)
-    pipeline = ResidentPipeline(
-        dataset_train, dataset_test, mesh,
-        batch_size=batch_size, num_microbatches=num_microbatches,
-        shuffle_seed=config.get("shuffle_seed", 0))
-
-    # The final crop shape decides the model's input shape.
-    sample_shape = tuple(transforms_train[next(reversed(transforms_train))]
-                         .output_shape) if transforms_train else \
-        dataset_train.data_shape
+    # The final transform's output shape decides the model's input shape.
     train_state = init_train_state(
         model, optimizer, jax.random.key(config.get("seed", 0)), sample_shape)
     train_state = jax.device_put(train_state, replicated_sharding(mesh))
@@ -215,19 +226,9 @@ def training_loop(
     base_step = make_train_step(
         model, optimizer, num_microbatches, augment_fn=ls["augment_fn"],
         grad_reduction=config.get("microbatch_grad_reduction", "sum"))
-
-    data_x, data_y = pipeline.train_view()
-
-    def resident_step(ts, dx, dy, idx, lr, rng):
-        return base_step(ts, dx[idx], dy[idx], lr, rng)
-
-    step_fn = jax.jit(resident_step, donate_argnums=0)
-    base_eval = make_eval_step(model, ls["preprocess_fn"])
-
-    def resident_eval(params, ms, dx, dy, idx, mask):
-        return base_eval(params, ms, dx[idx], dy[idx], mask)
-
-    eval_step_fn = jax.jit(resident_eval)
+    step_fn = jax.jit(pipeline.bind_train_step(base_step), donate_argnums=0)
+    eval_step_fn = jax.jit(
+        pipeline.bind_eval_step(make_eval_step(model, ls["preprocess_fn"])))
 
     writer = tb.SummaryWriter(log_dir)
     root_rng = jax.random.key(seed)
@@ -257,13 +258,17 @@ def training_loop(
 
     while not done():
         epoch = strategy.epoch_step
-        for idx in pipeline.train_batches(epoch):
+        for feed in pipeline.train_feed(epoch):
+            if profile_steps and global_step == int(profile_steps[0]):
+                jax.profiler.start_trace(log_dir)
             lr = scheduler.get_lr() if scheduler else base_lr_of(
                 config.get("optimizer_args"))
             rng = jax.random.fold_in(root_rng, global_step)
             train_state, metrics = step_fn(
-                train_state, data_x, data_y, idx,
-                jnp.float32(lr), rng)
+                train_state, *feed, jnp.float32(lr), rng)
+            if profile_steps and global_step == int(profile_steps[1]):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
 
             cur = (global_step, metrics)
             if sync_batch_loss:

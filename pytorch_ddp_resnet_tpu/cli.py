@@ -64,13 +64,10 @@ def main(argv=None) -> int:
         from pytorch_ddp_resnet_tpu.algos.steps import make_eval_step
 
         ls = learning_system
-        base_eval = make_eval_step(ls["model"], ls["preprocess_fn"])
-
-        def resident_eval(params, ms, dx, dy, idx, mask):
-            return base_eval(params, ms, dx[idx], dy[idx], mask)
-
+        eval_fn = jax.jit(ls["pipeline"].bind_eval_step(
+            make_eval_step(ls["model"], ls["preprocess_fn"])))
         metrics = evaluation_loop(
-            ls["pipeline"], jax.jit(resident_eval),
+            ls["pipeline"], eval_fn,
             ls["train_state"]["params"], ls["train_state"]["model_state"])
         print(f"Test metrics: {metrics}")
     return 0

@@ -52,17 +52,19 @@ from pytorch_ddp_resnet_tpu.utils.checkpoint import (
 
 
 def _apply_prefix(transforms: Sequence[Transform], x: jnp.ndarray) -> jnp.ndarray:
-    """Run the (deterministic) upstream pipeline over a whole dataset array,
-    the vectorized analog of the reference rebuilding the dataset with
-    transforms-so-far before each fit (data_util.py:70-74)."""
-    for t in transforms:
-        if t.stochastic:
-            raise ValueError(
-                f"A stochastic transform ({type(t).__name__}) precedes a "
-                f"fittable one; statistics would be nondeterministic. Order "
-                f"fittable transforms before stochastic augmentation (as all "
-                f"reference configs do).")
-        x = t.apply_batch(x)
+    """Run the upstream pipeline over a whole dataset array, the vectorized
+    analog of the reference rebuilding the dataset with transforms-so-far
+    before each fit (data_util.py:70-74). A stochastic transform ahead of a
+    fittable one (e.g. flip before PCA color fitting in an AlexNet-style
+    recipe) is applied with a FIXED key: the fitted statistics stay
+    deterministic across hosts/restarts, unlike the reference, which would
+    re-sample augmentation randomness inside fit."""
+    import jax
+
+    for i, t in enumerate(transforms):
+        x = t.apply_batch(
+            x, jax.random.fold_in(jax.random.key(0), i) if t.stochastic
+            else None)
     return x
 
 
@@ -196,6 +198,10 @@ class ResidentPipeline:
         shuffle_seed: int = 0,
         eval_batch_size: Optional[int] = None,
     ):
+        if (batch_size // max(num_microbatches, 1)) % mesh.size != 0:
+            raise ValueError(
+                f"Per-microbatch size {batch_size // max(num_microbatches, 1)}"
+                f" must divide across the {mesh.size}-device mesh.")
         self.mesh = mesh
         self.batch_size = batch_size
         self.num_microbatches = num_microbatches
@@ -233,3 +239,32 @@ class ResidentPipeline:
         for idx, mask in self.sampler_test.batches():
             yield (jax.device_put(idx, self._data_sharding),
                    jax.device_put(mask, self._data_sharding))
+
+    # --- uniform pipeline interface (shared with StreamingPipeline) --------
+
+    def bind_train_step(self, base_step):
+        """base_step(ts, x, y, lr, rng) -> step(ts, *train_feed, lr, rng):
+        the per-step input is an index vector; the gather from the
+        HBM-resident dataset happens inside the compiled step."""
+        data_x, data_y = self.train_x, self.train_y
+
+        def resident_step(ts, idx, lr, rng):
+            return base_step(ts, data_x[idx], data_y[idx], lr, rng)
+
+        return resident_step
+
+    def bind_eval_step(self, base_eval):
+        data_x, data_y = self.test_x, self.test_y
+
+        def resident_eval(params, model_state, idx, mask):
+            return base_eval(params, model_state, data_x[idx], data_y[idx],
+                             mask)
+
+        return resident_eval
+
+    def train_feed(self, epoch: int):
+        for idx in self.train_batches(epoch):
+            yield (idx,)
+
+    def eval_feed(self):
+        yield from self.eval_batches()

@@ -292,6 +292,28 @@ class RandomScaleTransform(Transform):
         return np.asarray(out)
 
 
+class CenterCropTransform(Transform):
+    """Deterministic center crop. Extension beyond the reference: its
+    transform library has no center crop, so its ImageNet eval would have
+    used a *random* crop (transform_util.py has only RandomCropTransform);
+    standard top-1/top-5 protocol needs scale + center crop."""
+
+    def __init__(self, data_shape, crop_size: int):
+        super().__init__(data_shape)
+        self._crop_size = int(crop_size)
+
+    @property
+    def output_shape(self):
+        c = self._data_shape[-1]
+        return (self._crop_size, self._crop_size, c)
+
+    def apply_batch(self, x, rng=None):
+        b, h, w, c = x.shape
+        cs = self._crop_size
+        t, l = (h - cs) // 2, (w - cs) // 2
+        return x[:, t:t + cs, l:l + cs, :]
+
+
 class ColorTransform(FittableTransform):
     stochastic = True
 
@@ -339,6 +361,7 @@ TRANSFORM_REGISTRY = {
     "PaddingTransform": PaddingTransform,
     "RandomCropTransform": RandomCropTransform,
     "RandomScaleTransform": RandomScaleTransform,
+    "CenterCropTransform": CenterCropTransform,
     "ColorTransform": ColorTransform,
 }
 

@@ -127,13 +127,11 @@ def test_eval_mode(tmp_path):
     import jax
 
     from pytorch_ddp_resnet_tpu.algos.steps import make_eval_step
-    base_eval = make_eval_step(ls2["model"], ls2["preprocess_fn"])
-
-    def resident_eval(params, ms, dx, dy, idx, mask):
-        return base_eval(params, ms, dx[idx], dy[idx], mask)
+    eval_fn = jax.jit(ls2["pipeline"].bind_eval_step(
+        make_eval_step(ls2["model"], ls2["preprocess_fn"])))
 
     metrics = evaluation_loop(
-        ls2["pipeline"], jax.jit(resident_eval),
+        ls2["pipeline"], eval_fn,
         ls2["train_state"]["params"], ls2["train_state"]["model_state"])
     assert set(metrics) == {"loss", "top1_err", "top5_err"}
     assert 0.0 <= metrics["top1_err"] <= 1.0
@@ -141,7 +139,7 @@ def test_eval_mode(tmp_path):
 
     # deterministic eval: run twice, bitwise equal
     metrics2 = evaluation_loop(
-        ls2["pipeline"], jax.jit(resident_eval),
+        ls2["pipeline"], eval_fn,
         ls2["train_state"]["params"], ls2["train_state"]["model_state"])
     assert metrics == metrics2
 

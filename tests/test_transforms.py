@@ -206,15 +206,22 @@ def test_build_transforms_rejects_missing_reusable(tmp_path):
                          reusable_transforms={})
 
 
-def test_build_transforms_rejects_stochastic_before_fit(tmp_path):
+def test_stochastic_before_fittable_fits_deterministically(tmp_path):
+    """A stochastic transform ahead of a fittable one is applied with a fixed
+    key during fitting, so statistics are reproducible across builds (the
+    reference would re-sample augmentation randomness inside fit)."""
     ds = load_synthetic(None, train=True, n_train=32)
-    bad = {
+    aug = {
         "ToTensorTransform": {},
         "FlipTransform": {"p": 0.5},
         "StandardizeWhiteningTransform": {},
     }
-    with pytest.raises(ValueError, match="[Ss]tochastic"):
-        build_transforms(ds, bad, str(tmp_path), is_train=True)
+    import shutil
+    t1 = build_transforms(ds, aug, str(tmp_path / "a"), is_train=True)
+    t2 = build_transforms(ds, aug, str(tmp_path / "b"), is_train=True)
+    np.testing.assert_array_equal(
+        t1["StandardizeWhiteningTransform"].mean,
+        t2["StandardizeWhiteningTransform"].mean)
 
 
 def test_make_batch_augment_fn_composes_and_jits():
