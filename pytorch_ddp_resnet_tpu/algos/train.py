@@ -81,6 +81,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
 
     batch_size = config.get("batch_size")
     num_microbatches = config.get("num_microbatches", 1)
+    augment_pass_indices = False
 
     if isinstance(dataset_train, ArrayDataset):
         # Resident path: dataset in HBM, augmentation fused into the step.
@@ -103,6 +104,24 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         sample_shape = tuple(
             transforms_train[next(reversed(transforms_train))].output_shape
         ) if transforms_train else dataset_train.data_shape
+
+        # Optional Pallas fused gather+augment kernel (ops/pallas/augment.py):
+        # replaces the XLA gather + transform chain when the recipe matches
+        # the standard CIFAR pattern.
+        if config.get("use_pallas_augment", False):
+            from pytorch_ddp_resnet_tpu.ops.pallas.augment import (
+                try_from_transforms)
+
+            fused = try_from_transforms(
+                transforms_train, dataset_train.x,
+                # Mosaic targets TPU; elsewhere (CPU tests) run interpreted.
+                interpret=jax.default_backend() != "tpu")
+            if fused is not None:
+                augment_fn = fused
+                augment_pass_indices = True
+            elif verbose:
+                print("use_pallas_augment: pipeline doesn't match the fused "
+                      "kernel pattern; using the XLA path.")
     else:
         # Streaming path: host decode/scale/crop workers + device suffix.
         from pytorch_ddp_resnet_tpu.data.streaming import build_streaming_data
@@ -175,6 +194,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         "train_state": train_state,
         "global_step": global_step,
         "num_microbatches": num_microbatches,
+        "augment_pass_indices": augment_pass_indices,
     }
 
 
@@ -226,12 +246,21 @@ def training_loop(
     base_step = make_train_step(
         model, optimizer, num_microbatches, augment_fn=ls["augment_fn"],
         grad_reduction=config.get("microbatch_grad_reduction", "sum"))
-    step_fn = jax.jit(pipeline.bind_train_step(base_step), donate_argnums=0)
+    step_fn = jax.jit(
+        pipeline.bind_train_step(
+            base_step, pass_indices=ls.get("augment_pass_indices", False)),
+        donate_argnums=0)
     eval_step_fn = jax.jit(
         pipeline.bind_eval_step(make_eval_step(model, ls["preprocess_fn"])))
 
     writer = tb.SummaryWriter(log_dir)
-    root_rng = jax.random.key(seed)
+    # Per-step randomness (dropout masks, flips, crops) uses the RBG PRNG by
+    # default: threefry bit generation costs ~43% of a WRN-28-10 step on
+    # v5e (113ms -> 64ms without dropout; 71ms with rbg, measured), while
+    # rbg is hardware-accelerated. Statistically equivalent for
+    # augmentation/dropout; the reference uses torch's Philox streams, so
+    # there is no bit-level parity to preserve.
+    root_rng = jax.random.key(seed, impl=config.get("prng_impl", "rbg"))
 
     # A synchronous loss fetch per step is only needed when a batch-unit
     # consumer requires the fresh value.

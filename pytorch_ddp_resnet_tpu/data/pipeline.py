@@ -242,14 +242,19 @@ class ResidentPipeline:
 
     # --- uniform pipeline interface (shared with StreamingPipeline) --------
 
-    def bind_train_step(self, base_step):
+    def bind_train_step(self, base_step, pass_indices: bool = False):
         """base_step(ts, x, y, lr, rng) -> step(ts, *train_feed, lr, rng):
         the per-step input is an index vector; the gather from the
-        HBM-resident dataset happens inside the compiled step."""
+        HBM-resident dataset happens inside the compiled step.
+
+        pass_indices=True feeds the index vector itself as ``x`` — used when
+        the augment function does its own gather (the Pallas fused kernel
+        DMAs rows straight out of the resident dataset)."""
         data_x, data_y = self.train_x, self.train_y
 
         def resident_step(ts, idx, lr, rng):
-            return base_step(ts, data_x[idx], data_y[idx], lr, rng)
+            x = idx if pass_indices else data_x[idx]
+            return base_step(ts, x, data_y[idx], lr, rng)
 
         return resident_step
 

@@ -279,7 +279,11 @@ class StreamingPipeline:
 
     # --- uniform pipeline interface (shared with ResidentPipeline) ---------
 
-    def bind_train_step(self, base_step):
+    def bind_train_step(self, base_step, pass_indices: bool = False):
+        if pass_indices:
+            raise ValueError(
+                "pass_indices (Pallas fused gather) requires a resident "
+                "dataset; the streaming pipeline feeds images directly.")
         return base_step  # feed is (x, y) directly
 
     def bind_eval_step(self, base_eval):
