@@ -75,6 +75,7 @@ def parse_spec(
     use_proj: bool,
     dropout_prob: float,
     compute_dtype: Any = jnp.bfloat16,
+    remat: bool = False,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
     tokens = architecture_spec.split()
@@ -95,7 +96,8 @@ def parse_spec(
                 cls(channels=cin if ell == 0 else cout,
                     downsample=downsample if ell == 0 else False,
                     preact=preact, use_proj=use_proj,
-                    dropout_prob=dropout_prob, compute_dtype=cd),
+                    dropout_prob=dropout_prob, compute_dtype=cd,
+                    remat=remat),
             ))
         channels = cout
         return Sequential(tuple(blocks))
@@ -155,14 +157,17 @@ class ResNet:
         use_proj: bool,
         dropout_prob: float,
         compute_dtype: Any = jnp.bfloat16,
+        remat: bool = False,
     ):
         self.architecture_spec = architecture_spec
         self.preact = preact
         self.use_proj = use_proj
         self.dropout_prob = dropout_prob
         self.compute_dtype = compute_dtype
+        self.remat = remat
         self.spine = parse_spec(
-            architecture_spec, preact, use_proj, dropout_prob, compute_dtype
+            architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
+            remat=remat,
         )
 
     def init(self, rng, input_shape: Shape):
