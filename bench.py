@@ -14,7 +14,14 @@ strongest setup the reference claims support for).
 """
 
 import json
+import os
 import time
+
+# Persistent compile cache: TPU compiles in this environment go through a
+# remote tunnel and take minutes; cached executables make repeat bench runs
+# fast. Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 import jax.numpy as jnp

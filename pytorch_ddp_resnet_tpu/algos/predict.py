@@ -12,7 +12,7 @@ padded static shapes) over the mesh.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

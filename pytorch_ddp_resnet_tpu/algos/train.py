@@ -60,10 +60,24 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "float16": jnp.float16}
 
 
+_REQUIRED_KEYS = (
+    "dataset_cls_name", "data_aug_train", "data_aug_test",
+    "architecture_spec", "preact", "use_proj", "dropout_prob",
+    "batch_size", "optimizer_cls_name", "optimizer_args",
+    "checkpoint_strategy_cls_name",
+)
+
+
 def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     """Build the full learning system from a run config
     (reference: script.py:50-108). Returns the dict of handles the loops
     consume, including the restored ``global_step``."""
+    missing = [k for k in _REQUIRED_KEYS if config.get(k) is None
+               and k not in ("data_aug_train", "data_aug_test")]
+    if missing:
+        raise ValueError(
+            f"config.yaml is missing required keys: {missing} "
+            f"(see models_dir/*/config.yaml for the schema).")
     if mesh is None:
         mesh = make_mesh()
     world_size = config.get("world_size")

@@ -27,8 +27,8 @@ import os
 import pickle
 import tarfile
 import urllib.request
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 

@@ -50,7 +50,7 @@ name at step 1 exactly like the reference (data_util.py:79-92).
 from __future__ import annotations
 
 import abc
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ kaiming_normal pass touches only top-level convs (resnet.py:160-163).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

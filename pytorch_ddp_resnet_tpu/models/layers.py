@@ -29,8 +29,8 @@ EMA momentum and unbiased running-variance update.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +41,6 @@ from pytorch_ddp_resnet_tpu.ops import initializers as init_lib
 Shape = Tuple[int, ...]  # per-sample (H, W, C)
 Params = Dict[str, Any]
 State = Dict[str, Any]
-
-
-def _pair(v):
-    return (v, v) if isinstance(v, int) else tuple(v)
 
 
 class Layer:

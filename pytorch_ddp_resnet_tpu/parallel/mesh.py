@@ -10,6 +10,13 @@ gradient all-reduce over ICI inside the compiled step.
 The mesh is 1-D today because data parallelism is the only strategy the
 reference has (SURVEY.md §2.2), but the axis is named so tensor/spatial axes
 can be added later without changing call sites.
+
+Multi-host note: on a pod slice (after ``jax.distributed.initialize()``) the
+resident pipeline works because every host computes identical deterministic
+epoch permutations and holds the full (small) dataset; the host->device
+placement of index arrays then shards consistently. Streaming ImageNet on
+pods should move to ``jax.make_array_from_process_local_data`` with per-host
+file sharding (ROADMAP.md #3).
 """
 
 from __future__ import annotations

@@ -25,7 +25,6 @@ schedulers (optim.py), strategies (below), fitted transforms (data/), and
 from __future__ import annotations
 
 import abc
-import io
 import math
 import os
 import re

@@ -6,7 +6,7 @@ and callables, so these aliases are primarily documentation for signatures.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Protocol, Tuple, Union
+from typing import Any, Callable, Dict, Protocol, Tuple, Union
 
 import jax
 
