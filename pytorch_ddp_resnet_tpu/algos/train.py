@@ -290,6 +290,8 @@ def training_loop(
 
     pending = None  # (step_id, device_metrics) logged with one-step lag
     t_start, steps_at_start = time.time(), global_step
+    last_drain_t = [time.time()]
+    last_drain_step = [global_step]
 
     def drain(p):
         step_id, m = p
@@ -298,6 +300,17 @@ def training_loop(
             print(f"global step: {step_id}... loss: {host['loss']}")
         for name, v in host.items():
             writer.add_scalar(f"train/{name}", v, step_id)
+        # throughput as a first-class logged metric (SURVEY.md §5.1; the
+        # reference logs nothing beyond loss/err)
+        now = time.time()
+        dsteps = step_id + 1 - last_drain_step[0]
+        if now > last_drain_t[0] and dsteps > 0:
+            writer.add_scalar(
+                "train/images_per_sec",
+                dsteps * config.get("batch_size") / (now - last_drain_t[0]),
+                step_id)
+        last_drain_t[0] = now
+        last_drain_step[0] = step_id + 1
         return host
 
     def done():

@@ -134,6 +134,11 @@ class BatchNorm(Layer):
     momentum: float = 0.1
     eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # Optional hand-written VJP (ops/batchnorm.py): same math, minimal
+    # reduction set and bf16 residuals. Measured perf-neutral vs autodiff on
+    # v5e (72.8 vs 71.8 ms/step, WRN-28-10 b256) — XLA's autodiff BN is
+    # already efficient — so autodiff stays the default.
+    fused_vjp: bool = False
 
     def init(self, rng, in_shape: Shape):
         del rng
@@ -151,11 +156,22 @@ class BatchNorm(Layer):
         return params, state, in_shape
 
     def apply(self, params, state, x, *, train, rng=None):
-        xf = x.astype(jnp.float32)
         if train:
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
             n = x.shape[0] * x.shape[1] * x.shape[2]
+            if self.fused_vjp:
+                from pytorch_ddp_resnet_tpu.ops.batchnorm import (
+                    batch_norm_train)
+
+                y, mean, var = batch_norm_train(
+                    x.astype(self.compute_dtype), params["scale"],
+                    params["bias"], self.eps)
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+                inv = lax.rsqrt(var + self.eps) * params["scale"]
+                y = ((xf - mean) * inv + params["bias"]).astype(
+                    self.compute_dtype)
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
             new_state = {
@@ -163,12 +179,11 @@ class BatchNorm(Layer):
                 "var": (1 - m) * state["var"] + m * unbiased,
                 "count": state["count"] + 1,
             }
-        else:
-            mean, var = state["mean"], state["var"]
-            new_state = state
+            return y, new_state
+        mean, var = state["mean"], state["var"]
         inv = lax.rsqrt(var + self.eps) * params["scale"]
-        y = (xf - mean) * inv + params["bias"]
-        return y.astype(self.compute_dtype), new_state
+        y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+        return y.astype(self.compute_dtype), state
 
 
 @dataclass(frozen=True)
