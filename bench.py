@@ -67,7 +67,18 @@ def main():
     }
     with tempfile.TemporaryDirectory() as tmp:
         transforms = build_transforms(ds, aug_spec, tmp, is_train=True)
-    augment = make_batch_augment_fn(list(transforms.values()))
+
+    if jax.default_backend() == "tpu":
+        # fused Pallas gather+augment kernel (ops/pallas/augment.py):
+        # measured 70.7 vs 71.8 ms/step against the XLA path on v5e
+        from pytorch_ddp_resnet_tpu.ops.pallas.augment import (
+            try_from_transforms)
+
+        augment = try_from_transforms(transforms, ds.x)
+        pass_indices = True
+    else:
+        augment = make_batch_augment_fn(list(transforms.values()))
+        pass_indices = False
 
     ts = init_train_state(model, optimizer, jax.random.key(0), (32, 32, 3))
     ts = jax.device_put(ts, replicated_sharding(mesh))
@@ -80,7 +91,8 @@ def main():
     base_step = make_train_step(model, optimizer, 1, augment_fn=augment)
 
     def resident_step(ts, dx, dy, idx, lr, rng):
-        return base_step(ts, dx[idx], dy[idx], lr, rng)
+        x = idx if pass_indices else dx[idx]
+        return base_step(ts, x, dy[idx], lr, rng)
 
     step = jax.jit(resident_step, donate_argnums=0)
 
