@@ -155,7 +155,9 @@ class EpochSampler:
         perm = rng.permutation(self.n)
         total = self.batches_per_epoch * self.global_batch
         if total > self.n:
-            perm = np.concatenate([perm, perm[: total - self.n]])
+            # wrap (tiling if the batch exceeds the dataset) to a whole
+            # number of global batches, like DistributedSampler's padding
+            perm = np.resize(perm, total)
         mb = self.global_batch // self.num_microbatches
         return perm.reshape(
             self.batches_per_epoch, self.num_microbatches, mb

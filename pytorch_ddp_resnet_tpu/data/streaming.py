@@ -228,7 +228,7 @@ class StreamingPipeline:
         perm = rng.permutation(n)
         total = self.steps_per_epoch * self.batch_size
         if total > n:
-            perm = np.concatenate([perm, perm[: total - n]])
+            perm = np.resize(perm, total)  # wrap/tile to whole batches
         mb = self.batch_size // self.num_microbatches
         sharding = NamedSharding(self.mesh, P(None, "data"))
 

@@ -74,3 +74,12 @@ def test_synthetic_dataset_registry():
     assert ds.x.dtype == np.uint8
     with pytest.raises(ValueError):
         get_dataset("NoSuchDataset", data_dir=None, train=True)
+
+
+def test_epoch_sampler_batch_larger_than_dataset():
+    """batch_size > dataset: the permutation tiles to fill one batch."""
+    s = EpochSampler(n=10, global_batch=64, num_microbatches=2, seed=0)
+    assert s.batches_per_epoch == 1
+    idx = s.epoch_indices(0)
+    assert idx.shape == (1, 2, 32)
+    assert set(idx.reshape(-1).tolist()) == set(range(10))
