@@ -212,7 +212,12 @@ class MaxPool(Layer):
 
     def apply(self, params, state, x, *, train, rng=None):
         k, s, p = self.kernel_size, self.stride, self.padding
-        neg_inf = jnp.array(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        # init must be a Python scalar: a traced array defeats JAX's
+        # max-monoid recognition and breaks reduce_window's reverse-mode AD
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            neg_inf = -float("inf")
+        else:
+            neg_inf = jnp.iinfo(x.dtype).min
         y = lax.reduce_window(
             x, neg_inf, lax.max,
             window_dimensions=(1, k, k, 1),

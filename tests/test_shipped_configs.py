@@ -1,0 +1,63 @@
+"""Every shipped run config must parse, build its model, and satisfy the
+published parameter counts (guards the configs against drift)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from pytorch_ddp_resnet_tpu.models import ResNet
+from pytorch_ddp_resnet_tpu.data.transforms import get_transform_cls
+from pytorch_ddp_resnet_tpu.utils.checkpoint import get_checkpoint_strategy
+from pytorch_ddp_resnet_tpu.utils.optim import base_lr_of, get_optimizer, get_scheduler
+
+MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "models_dir")
+
+# measured on the reference / from the papers
+KNOWN_PARAMS = {
+    "resnet-v1-20_cifar10": 269738,
+    "resnet-v1-32_cifar10": 464170,
+    "resnet-v1-44_cifar10": 658602,
+    "resnet-v1-56_cifar10": 853034,
+    "resnet-v1-110_cifar10": 1727978,
+    "resnet-v2-164_cifar10": 1704458,
+    "wrn-28-10-dropout_cifar10": 36688330,
+    "wrn-50-2-bottleneck_ilsvrc2012": 1999016,
+}
+
+INPUT_HW = {"wrn-50-2-bottleneck_ilsvrc2012": 224}
+
+RUNS = sorted(os.listdir(MODELS_DIR))
+
+
+@pytest.mark.parametrize("run_name", RUNS)
+def test_config_builds(run_name):
+    path = os.path.join(MODELS_DIR, run_name, "config.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+
+    # factories must all resolve
+    get_optimizer(cfg["optimizer_cls_name"], cfg["optimizer_args"])
+    get_scheduler(cfg["scheduler_cls_name"], cfg.get("scheduler_args"),
+                  base_lr=base_lr_of(cfg["optimizer_args"]))
+    get_checkpoint_strategy(cfg["checkpoint_strategy_cls_name"],
+                            cfg.get("checkpoint_strategy_args"))
+    for aug in ("data_aug_train", "data_aug_test"):
+        for name in cfg[aug]:
+            get_transform_cls(name)
+    assert cfg["batch_size"] % cfg.get("num_microbatches", 1) == 0
+
+    model = ResNet(cfg["architecture_spec"], cfg["preact"], cfg["use_proj"],
+                   cfg["dropout_prob"], compute_dtype=jnp.float32)
+    hw = INPUT_HW.get(run_name, 32)
+    params, _ = model.init(jax.random.key(0), (hw, hw, 3))
+    if run_name in KNOWN_PARAMS:
+        assert model.param_count(params) == KNOWN_PARAMS[run_name], run_name
+
+
+def test_all_expected_runs_shipped():
+    expected = set(KNOWN_PARAMS) | {"wrn-28-10-dropout_cifar100",
+                                    "smoke_synthetic"}
+    assert expected <= set(RUNS), expected - set(RUNS)

@@ -191,3 +191,20 @@ def test_eval_deterministic():
     b = eval_step(ts["params"], ts["model_state"], x, y, mask)
     for k in a:
         assert float(a[k]) == float(b[k])  # bitwise-deterministic
+
+
+def test_train_step_differentiates_through_maxpool():
+    """Regression: reduce_window-max AD requires a scalar init value; specs
+    with 'mp' components (the ImageNet stem) must train."""
+    model = ResNet("c3,8,7,2,3 n a mp3,2,1 b1 ap16,1,0 fc8,10",
+                   preact=False, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.float32)
+    from pytorch_ddp_resnet_tpu.utils.optim import sgd as sgd_fn
+    opt = sgd_fn(momentum=0.9)
+    ts = steps_lib.init_train_state(model, opt, jax.random.key(0), (64, 64, 3))
+    step = jax.jit(steps_lib.make_train_step(model, opt, 1))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.zeros((1, 4), jnp.int32)
+    ts, m = step(ts, x, y, jnp.float32(0.1), jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
