@@ -28,7 +28,7 @@ import pickle
 import tarfile
 import urllib.request
 from dataclasses import dataclass
-from typing import Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -97,7 +97,17 @@ def _download_and_extract(url: str, data_dir: str, marker: str) -> None:
         urllib.request.urlretrieve(url, archive + ".part")
         os.replace(archive + ".part", archive)
     with tarfile.open(archive, "r:gz") as tf:
-        tf.extractall(data_dir)
+        try:
+            # refuse path traversal from a malicious archive (the download is
+            # HTTPS but the archive itself is unauthenticated)
+            tf.extractall(data_dir, filter="data")
+        except TypeError:  # Python < 3.12 has no filter= parameter
+            for member in tf.getmembers():
+                dest = os.path.realpath(os.path.join(data_dir, member.name))
+                if not dest.startswith(os.path.realpath(data_dir) + os.sep):
+                    raise RuntimeError(
+                        f"Archive member escapes target dir: {member.name}")
+            tf.extractall(data_dir)
 
 
 def _load_cifar_batch(path: str):

@@ -187,9 +187,11 @@ class StreamingPipeline:
         return -(-len(self.train_ds) // self.batch_size)
 
     def _assemble(self, paths, labels, proc, epoch, indices):
+        # The per-sample RNG identity is the *dataset* index, so two samples
+        # sharing a batch slot across batches never share crop randomness
+        # (each sample appears once per epoch, so (epoch, index) is unique).
         imgs = list(self._pool.map(
-            lambda pi: proc(paths[pi[1]], epoch, pi[0]),
-            enumerate(indices)))
+            lambda di: proc(paths[di], epoch, di), indices))
         x = np.stack(imgs)
         y = labels[list(indices)].astype(np.int32)
         return x, y
@@ -197,27 +199,44 @@ class StreamingPipeline:
     def _prefetch(self, batch_iter) -> Iterator:
         """Run batch assembly ahead of consumption; device_put eagerly so the
         H2D copy overlaps the running step. Producer exceptions re-raise in
-        the consumer (no silent truncation)."""
+        the consumer (no silent truncation). If the consumer abandons the
+        generator mid-epoch (e.g. training stops at max_steps), the finally
+        block signals the producer, whose bounded-queue puts poll the signal —
+        no thread or prefetched-batch leak."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in batch_iter:
-                    q.put(item)
-                q.put(stop)
+                    if not put(item):
+                        return
+                put(stop)
             except BaseException as e:  # noqa: BLE001 — relayed, not dropped
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
 
     def train_batches(self, epoch: int):
         """Yields device-put (x (M, mb, H, W, C) uint8, y (M, mb)) batches."""

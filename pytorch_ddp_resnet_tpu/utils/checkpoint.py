@@ -55,7 +55,9 @@ def _latest_n_checkpoint_steps(base_path: str, n: int = 5, kind: str = ""):
     steps = set()
     for f in os.listdir(base_path):
         parsed = _parse_name(f)
-        if parsed and parsed["kind"].startswith(kind):
+        # exact kind match ('' = any kind): prefix matching would conflate
+        # e.g. a future 'classifier_ema' kind with 'classifier'
+        if parsed and (not kind or parsed["kind"] == kind):
             steps.add(parsed["steps"])
     return sorted(steps)[-n:]
 
