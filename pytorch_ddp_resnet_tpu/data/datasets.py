@@ -17,8 +17,20 @@ Supported ``dataset_cls_name`` values:
   (``<root>/imagenet/{train,val}/<wnid>/*.JPEG``); listed lazily and decoded
   on worker threads by the streaming pipeline (images have non-uniform
   sizes, so HBM residency doesn't apply).
+- ``MNIST`` / ``FashionMNIST``: parsed natively from the idx-ubyte files in
+  the torchvision ``<root>/{MNIST,FashionMNIST}/raw`` layout (also accepts
+  the files directly under ``<root>``), gzipped or not.
+- ``SVHN``: the ``{train,test}_32x32.mat`` cropped-digits files (scipy .mat
+  parsing); torchvision's label-10-means-digit-0 remap is reproduced.
+- ``STL10``: ``stl10_binary`` column-major uint8 planes, 1-indexed labels.
 - ``Synthetic``: deterministic fake CIFAR-shaped data for tests/benchmarks
   (the reference has no offline story; SURVEY.md §4 calls for one).
+
+The reference resolves these names by reflection with a train->'val' split
+adaptation (data_util.py:27-38) — a quirk that actually *crashes* for
+SVHN/STL10 (their torchvision ``split`` values are 'train'/'test', not
+'val'); this registry maps ``train: bool`` to each dataset's natural
+train/test split instead.
 """
 
 from __future__ import annotations
@@ -167,6 +179,130 @@ def load_synthetic(
                         name="Synthetic")
 
 
+# --- idx-ubyte family (MNIST, FashionMNIST) --------------------------------
+
+_MNIST_MIRROR = "https://ossci-datasets.s3.amazonaws.com/mnist/"
+_FASHION_MIRROR = ("http://fashion-mnist.s3-website.eu-central-1"
+                   ".amazonaws.com/")
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse an idx-ubyte file (optionally .gz): big-endian magic declaring
+    dtype 0x08 (uint8) and ndim, then per-dim int32 sizes, then raw data."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+    if raw[0] != 0 or raw[1] != 0 or raw[2] != 0x08:
+        raise ValueError(f"{path} is not an idx-ubyte file.")
+    ndim = raw[3]
+    dims = [int.from_bytes(raw[4 + 4 * i:8 + 4 * i], "big")
+            for i in range(ndim)]
+    data = np.frombuffer(raw, np.uint8, offset=4 + 4 * ndim)
+    return data.reshape(dims)
+
+
+def _find_idx_file(candidates) -> str:
+    for c in candidates:
+        for path in (c, c + ".gz"):
+            if os.path.exists(path):
+                return path
+    raise FileNotFoundError(
+        f"None of {[c + '[.gz]' for c in candidates]} exist.")
+
+
+def _load_idx_dataset(data_dir: str, subdir: str, mirror: str, train: bool,
+                      download: bool, name: str) -> ArrayDataset:
+    split = "train" if train else "t10k"
+    img_name = f"{split}-images-idx3-ubyte"
+    lbl_name = f"{split}-labels-idx1-ubyte"
+    # torchvision layout <root>/<Name>/raw/, or the files directly in root
+    raw_dir = os.path.join(data_dir, subdir, "raw")
+    search = [os.path.join(raw_dir, img_name),
+              os.path.join(data_dir, img_name)]
+    try:
+        img_path = _find_idx_file(search)
+    except FileNotFoundError:
+        if not download:
+            raise FileNotFoundError(
+                f"{name} not found under {data_dir} "
+                f"(expected {subdir}/raw/{img_name}[.gz]).") from None
+        with FileLock(os.path.join(_ensure_dir(data_dir), f"{name}.lock")):
+            os.makedirs(raw_dir, exist_ok=True)
+            for fname in (img_name, lbl_name):
+                dest = os.path.join(raw_dir, fname + ".gz")
+                if not os.path.exists(dest):
+                    print(f"Downloading {mirror}{fname}.gz -> {dest}")
+                    urllib.request.urlretrieve(mirror + fname + ".gz",
+                                               dest + ".part")
+                    os.replace(dest + ".part", dest)
+        img_path = _find_idx_file(search)
+    lbl_path = _find_idx_file(
+        [os.path.join(os.path.dirname(img_path), lbl_name)])
+    x = _read_idx(img_path)[..., None]  # (N, 28, 28) -> NHWC with C=1
+    y = _read_idx(lbl_path).astype(np.int32)
+    return ArrayDataset(np.ascontiguousarray(x), y, num_classes=10, name=name)
+
+
+def load_mnist(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    return _load_idx_dataset(data_dir, "MNIST", _MNIST_MIRROR, train,
+                             download, "MNIST")
+
+
+def load_fashion_mnist(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    return _load_idx_dataset(data_dir, "FashionMNIST", _FASHION_MIRROR,
+                             train, download, "FashionMNIST")
+
+
+# --- SVHN (cropped digits, .mat) --------------------------------------------
+
+_SVHN_URL = "http://ufldl.stanford.edu/housenumbers/"
+
+
+def load_svhn(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    fname = ("train" if train else "test") + "_32x32.mat"
+    path = os.path.join(data_dir, fname)
+    if not os.path.exists(path):
+        if not download:
+            raise FileNotFoundError(f"SVHN not found at {path}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "SVHN.lock")):
+            if not os.path.exists(path):
+                print(f"Downloading {_SVHN_URL}{fname} -> {path}")
+                urllib.request.urlretrieve(_SVHN_URL + fname, path + ".part")
+                os.replace(path + ".part", path)
+    from scipy.io import loadmat
+
+    mat = loadmat(path)
+    x = np.ascontiguousarray(
+        mat["X"].transpose(3, 0, 1, 2))  # (32,32,3,N) -> NHWC
+    y = mat["y"].astype(np.int64).reshape(-1)
+    y = np.where(y == 10, 0, y).astype(np.int32)  # torchvision remap
+    return ArrayDataset(x.astype(np.uint8), y, num_classes=10, name="SVHN")
+
+
+# --- STL10 -------------------------------------------------------------------
+
+_STL10_URL = "http://ai.stanford.edu/~acoates/stl10/stl10_binary.tar.gz"
+
+
+def load_stl10(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    base = os.path.join(data_dir, "stl10_binary")
+    if not os.path.isdir(base):
+        if not download:
+            raise FileNotFoundError(f"STL10 not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "STL10.lock")):
+            _download_and_extract(_STL10_URL, data_dir, "stl10_binary")
+    split = "train" if train else "test"
+    with open(os.path.join(base, f"{split}_X.bin"), "rb") as f:
+        x = np.frombuffer(f.read(), np.uint8).reshape(-1, 3, 96, 96)
+    # images are stored column-major per plane: swap H/W, then to NHWC
+    x = np.ascontiguousarray(x.transpose(0, 3, 2, 1))
+    with open(os.path.join(base, f"{split}_y.bin"), "rb") as f:
+        y = np.frombuffer(f.read(), np.uint8).astype(np.int32) - 1
+    return ArrayDataset(x, y, num_classes=10, name="STL10")
+
+
 _IMG_EXTS = (".jpeg", ".jpg", ".png", ".bmp")
 
 
@@ -199,6 +335,10 @@ def _ensure_dir(d: str) -> str:
 _LOADERS = {
     "CIFAR10": load_cifar10,
     "CIFAR100": load_cifar100,
+    "MNIST": load_mnist,
+    "FashionMNIST": load_fashion_mnist,
+    "SVHN": load_svhn,
+    "STL10": load_stl10,
     "Synthetic": load_synthetic,
 }
 

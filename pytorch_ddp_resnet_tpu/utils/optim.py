@@ -9,10 +9,17 @@ pure-JAX implementations that reproduce torch's update rules exactly
 
 - optimizers: SGD (momentum/dampening/nesterov/coupled weight decay exactly
   as torch.optim.SGD, including the first-step ``buf = d_p`` special case),
-  Adam, AdamW, RMSprop;
+  Adam, AdamW, RMSprop, Adagrad, NAdam;
 - schedulers: MultiStepLR, StepLR, ExponentialLR, CosineAnnealingLR,
-  LinearLR, ConstantLR, ReduceLROnPlateau, and ``'None'`` to disable
-  (optim_util.py:26-27).
+  LinearLR, ConstantLR, ReduceLROnPlateau, LambdaLR, OneCycleLR, CyclicLR,
+  CosineAnnealingWarmRestarts, and ``'None'`` to disable (optim_util.py:26-27).
+
+Documented divergences from torch: LambdaLR takes the lambda as a YAML-
+expressible arithmetic expression string in ``epoch`` (a Python callable is
+not YAML-encodable — the reference could not configure LambdaLR from YAML
+either); OneCycleLR/CyclicLR schedule the learning rate only (torch also
+cycles the optimizer's momentum in-place; here optimizer hyperparameters
+other than lr are compiled into the step as static constants).
 
 Design: an optimizer is a pair of pure functions over pytrees so the update
 runs *inside* the jitted train step; the learning rate is a traced scalar
@@ -183,6 +190,100 @@ def rmsprop(
     return Optimizer(init, update)
 
 
+def adagrad(
+    lr: float = None,
+    lr_decay: float = 0.0,
+    weight_decay: float = 0.0,
+    initial_accumulator_value: float = 0.0,
+    eps: float = 1e-10,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.Adagrad semantics:
+
+        t += 1
+        clr = lr / (1 + (t - 1) * lr_decay)
+        g = g + wd * p
+        sum += g^2
+        p -= clr * g / (sqrt(sum) + eps)
+    """
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "sum": _tree_map(
+                lambda p: jnp.full_like(p, initial_accumulator_value), params),
+        }
+
+    def update(grads, state, params, lr):
+        t = state["step"] + 1
+        clr = lr / (1 + (t.astype(jnp.float32) - 1) * lr_decay)
+        if weight_decay != 0.0:
+            grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        sq = _tree_map(lambda s, g: s + g * g, state["sum"], grads)
+        new_params = _tree_map(
+            lambda p, g, s: p - clr * g / (jnp.sqrt(s) + eps),
+            params, grads, sq)
+        return new_params, {"step": t, "sum": sq}
+
+    return Optimizer(init, update)
+
+
+def nadam(
+    lr: float = None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    momentum_decay: float = 4e-3,
+    decoupled_weight_decay: bool = False,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.NAdam semantics (Dozat'16 with mu-product warm schedule):
+
+        mu_t    = b1 * (1 - 0.5 * 0.96^(t * psi))
+        mu_{t+1}= b1 * (1 - 0.5 * 0.96^((t+1) * psi))
+        mu_prod *= mu_t
+        m, v Adam EMAs; denom = sqrt(v / (1 - b2^t)) + eps
+        p -= lr * (1 - mu_t) / (1 - mu_prod) * g / denom
+        p -= lr * mu_{t+1} / (1 - mu_prod * mu_{t+1}) * m / denom
+    """
+    b1, b2 = betas
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "mu_product": jnp.ones((), jnp.float32),
+            "m": _tree_map(jnp.zeros_like, params),
+            "v": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr):
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        if weight_decay != 0.0:
+            if decoupled_weight_decay:
+                params = _tree_map(lambda p: p * (1 - lr * weight_decay), params)
+            else:
+                grads = _tree_map(lambda g, p: g + weight_decay * p,
+                                  grads, params)
+        mu = b1 * (1 - 0.5 * 0.96 ** (tf * momentum_decay))
+        mu_next = b1 * (1 - 0.5 * 0.96 ** ((tf + 1) * momentum_decay))
+        mu_product = state["mu_product"] * mu
+        m = _tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = _tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g,
+                      state["v"], grads)
+        bc2 = 1 - b2 ** tf
+
+        def upd(p, g, m_, v_):
+            denom = jnp.sqrt(v_) / jnp.sqrt(bc2) + eps
+            p = p - lr * (1 - mu) / (1 - mu_product) * g / denom
+            return p - lr * mu_next / (1 - mu_product * mu_next) * m_ / denom
+
+        new_params = _tree_map(upd, params, grads, m, v)
+        return new_params, {"step": t, "mu_product": mu_product, "m": m, "v": v}
+
+    return Optimizer(init, update)
+
+
 _OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
     "SGD": sgd,
     "Adam": lambda **kw: adam(decoupled=False, **kw),
@@ -190,6 +291,8 @@ _OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
         decoupled=True,
         **{**{"weight_decay": 0.01}, **kw}),  # torch AdamW default wd
     "RMSprop": rmsprop,
+    "Adagrad": adagrad,
+    "NAdam": nadam,
 }
 
 
@@ -382,6 +485,155 @@ class ReduceLROnPlateau(LRScheduler):
         self.cooldown_counter = int(d["cooldown_counter"])
 
 
+class LambdaLR(LRScheduler):
+    """torch.optim.lr_scheduler.LambdaLR: ``lr = base_lr * f(epoch)``.
+
+    ``lr_lambda`` may be a Python callable (library use) or a YAML-friendly
+    arithmetic expression string in the variable ``epoch`` with ``math``
+    available, e.g. ``"0.95 ** epoch"`` (a callable is not YAML-encodable; the
+    reference's reflection over torch could not configure LambdaLR from YAML
+    either, so the string form is this framework's config surface for it)."""
+
+    def __init__(self, base_lr, lr_lambda, **_ignored):
+        super().__init__(base_lr)
+        if callable(lr_lambda):
+            self._fn = lr_lambda
+        else:
+            code = compile(str(lr_lambda), "<lr_lambda>", "eval")
+            for name in code.co_names:
+                if name not in ("epoch", "math", "min", "max", "abs"):
+                    raise ValueError(
+                        f"lr_lambda expression uses disallowed name {name!r}; "
+                        f"allowed: epoch, math.*, min, max, abs.")
+            self._fn = lambda epoch: eval(  # noqa: S307 — names whitelisted
+                code, {"__builtins__": {}},
+                {"epoch": epoch, "math": math, "min": min, "max": max,
+                 "abs": abs})
+
+    def get_lr(self) -> float:
+        return self.base_lr * float(self._fn(self.last_epoch))
+
+
+class OneCycleLR(LRScheduler):
+    """torch.optim.lr_scheduler.OneCycleLR (lr schedule only; torch's
+    momentum cycling mutates optimizer hyperparameters in-place, which are
+    static compile-time constants here — documented divergence)."""
+
+    def __init__(self, base_lr, max_lr, total_steps, pct_start=0.3,
+                 anneal_strategy="cos", div_factor=25.0,
+                 final_div_factor=1e4, three_phase=False, **_ignored):
+        super().__init__(base_lr)
+        if anneal_strategy not in ("cos", "linear"):
+            raise ValueError("anneal_strategy must be 'cos' or 'linear'.")
+        if not 0 < pct_start < 1:
+            raise ValueError("pct_start must be in (0, 1).")
+        self.total_steps = int(total_steps)
+        self.anneal_strategy = anneal_strategy
+        initial_lr = float(max_lr) / float(div_factor)
+        min_lr = initial_lr / float(final_div_factor)
+        up = float(pct_start) * self.total_steps - 1
+        if three_phase:
+            self._phases = [
+                (up, initial_lr, float(max_lr)),
+                (2 * up, float(max_lr), initial_lr),
+                (self.total_steps - 1, initial_lr, min_lr),
+            ]
+        else:
+            self._phases = [
+                (up, initial_lr, float(max_lr)),
+                (self.total_steps - 1, float(max_lr), min_lr),
+            ]
+
+    def _anneal(self, start: float, end: float, pct: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+        return (end - start) * pct + start
+
+    def get_lr(self) -> float:
+        step_num = self.last_epoch
+        if step_num > self.total_steps:
+            raise ValueError(
+                f"Tried to step {step_num} times; total_steps is "
+                f"{self.total_steps}.")
+        start_step = 0.0
+        for i, (end_step, start_lr, end_lr) in enumerate(self._phases):
+            if step_num <= end_step or i == len(self._phases) - 1:
+                pct = (step_num - start_step) / (end_step - start_step)
+                return self._anneal(start_lr, end_lr, pct)
+            start_step = end_step
+        raise AssertionError  # pragma: no cover
+
+
+class CyclicLR(LRScheduler):
+    """torch.optim.lr_scheduler.CyclicLR triangular/triangular2/exp_range
+    (lr schedule only; see OneCycleLR note on momentum cycling)."""
+
+    def __init__(self, base_lr, max_lr, step_size_up=2000,
+                 step_size_down=None, mode="triangular", gamma=1.0,
+                 **_ignored):
+        super().__init__(base_lr)
+        if mode not in ("triangular", "triangular2", "exp_range"):
+            raise ValueError(f"Unknown CyclicLR mode {mode!r}.")
+        self.max_lr = float(max_lr)
+        up = float(step_size_up)
+        down = float(step_size_down) if step_size_down is not None else up
+        self.total_size = up + down
+        self.step_ratio = up / self.total_size
+        self.mode = mode
+        self.gamma = float(gamma)
+
+    def get_lr(self) -> float:
+        cycle = math.floor(1 + self.last_epoch / self.total_size)
+        x = 1.0 + self.last_epoch / self.total_size - cycle
+        if x <= self.step_ratio:
+            scale_factor = x / self.step_ratio
+        else:
+            scale_factor = (x - 1) / (self.step_ratio - 1)
+        height = (self.max_lr - self.base_lr) * scale_factor
+        if self.mode == "triangular":
+            return self.base_lr + height
+        if self.mode == "triangular2":
+            return self.base_lr + height / (2.0 ** (cycle - 1))
+        return self.base_lr + height * self.gamma ** self.last_epoch
+
+
+class CosineAnnealingWarmRestarts(LRScheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingWarmRestarts (SGDR)."""
+
+    def __init__(self, base_lr, T_0, T_mult=1, eta_min=0.0, **_ignored):
+        super().__init__(base_lr)
+        if T_0 <= 0 or int(T_0) != T_0:
+            raise ValueError("T_0 must be a positive integer.")
+        if T_mult < 1 or int(T_mult) != T_mult:
+            raise ValueError("T_mult must be an integer >= 1.")
+        self.T_0 = int(T_0)
+        self.T_mult = int(T_mult)
+        self.eta_min = float(eta_min)
+        self.T_cur = 0
+        self.T_i = self.T_0
+
+    def step(self, loss: Optional[float] = None) -> None:
+        del loss
+        self.last_epoch += 1
+        self.T_cur += 1
+        if self.T_cur >= self.T_i:
+            self.T_cur -= self.T_i
+            self.T_i *= self.T_mult
+
+    def get_lr(self) -> float:
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.T_cur / self.T_i)) / 2
+
+    def state_dict(self):
+        return {"last_epoch": self.last_epoch, "T_cur": self.T_cur,
+                "T_i": self.T_i}
+
+    def load_state_dict(self, d):
+        self.last_epoch = int(d["last_epoch"])
+        self.T_cur = int(d["T_cur"])
+        self.T_i = int(d["T_i"])
+
+
 _SCHEDULERS = {
     "MultiStepLR": MultiStepLR,
     "StepLR": StepLR,
@@ -390,6 +642,10 @@ _SCHEDULERS = {
     "LinearLR": LinearLR,
     "ConstantLR": ConstantLR,
     "ReduceLROnPlateau": ReduceLROnPlateau,
+    "LambdaLR": LambdaLR,
+    "OneCycleLR": OneCycleLR,
+    "CyclicLR": CyclicLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
 }
 
 
@@ -399,11 +655,16 @@ def get_scheduler(
     base_lr: float,
     **_ignored,
 ) -> Optional[LRScheduler]:
-    """Name+kwargs factory; 'None' disables (reference: optim_util.py:21-30)."""
+    """Name+kwargs factory; 'None' disables (reference: optim_util.py:21-30).
+
+    ``base_lr`` defaults to the optimizer's lr; a ``base_lr`` key inside
+    ``scheduler_args`` overrides it (CyclicLR configs carry their own)."""
     if scheduler_cls_name in (None, "None"):
         return None
     if scheduler_cls_name not in _SCHEDULERS:
         raise ValueError(
             f"Unknown scheduler {scheduler_cls_name!r}; "
             f"available: {sorted(_SCHEDULERS)} or 'None'")
-    return _SCHEDULERS[scheduler_cls_name](base_lr, **(scheduler_args or {}))
+    args = dict(scheduler_args or {})
+    base_lr = float(args.pop("base_lr", base_lr))
+    return _SCHEDULERS[scheduler_cls_name](base_lr, **args)

@@ -77,6 +77,97 @@ def test_registry_dispatch(tmp_path):
         get_dataset("ImageNet", str(tmp_path), train=True)
 
 
+def _write_idx(path, arr):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(bytes([0, 0, 0x08, arr.ndim]))
+        for d in arr.shape:
+            f.write(struct.pack(">i", d))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _write_mnist_like(tmp_path, subdir, n_train=12, n_test=5, gz=False):
+    import gzip
+
+    raw = tmp_path / subdir / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    out = {}
+    for split, n in [("train", n_train), ("t10k", n_test)]:
+        x = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
+        y = rng.integers(0, 10, size=(n,), dtype=np.uint8)
+        _write_idx(raw / f"{split}-images-idx3-ubyte", x)
+        _write_idx(raw / f"{split}-labels-idx1-ubyte", y)
+        if gz:
+            for f in raw.iterdir():
+                if not f.name.endswith(".gz"):
+                    (raw / (f.name + ".gz")).write_bytes(
+                        gzip.compress(f.read_bytes()))
+                    f.unlink()
+        out[split] = (x, y)
+    return out
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_mnist_native_parsing(tmp_path, gz):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_mnist
+
+    raw = _write_mnist_like(tmp_path, "MNIST", gz=gz)
+    tr = load_mnist(str(tmp_path), train=True, download=False)
+    te = load_mnist(str(tmp_path), train=False, download=False)
+    assert tr.x.shape == (12, 28, 28, 1) and te.x.shape == (5, 28, 28, 1)
+    np.testing.assert_array_equal(tr.x[..., 0], raw["train"][0])
+    np.testing.assert_array_equal(te.y, raw["t10k"][1])
+    assert tr.num_classes == 10
+
+
+def test_fashion_mnist_dispatch(tmp_path):
+    _write_mnist_like(tmp_path, "FashionMNIST")
+    ds = get_dataset("FashionMNIST", str(tmp_path), train=True,
+                     download=False)
+    assert ds.name == "FashionMNIST" and ds.data_shape == (28, 28, 1)
+
+
+def test_svhn_native_parsing(tmp_path):
+    from scipy.io import savemat
+
+    from pytorch_ddp_resnet_tpu.data.datasets import load_svhn
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, size=(32, 32, 3, 9), dtype=np.uint8)
+    y = np.array([10, 1, 2, 3, 4, 5, 10, 7, 8], np.uint8).reshape(-1, 1)
+    savemat(tmp_path / "train_32x32.mat", {"X": x, "y": y})
+    ds = load_svhn(str(tmp_path), train=True, download=False)
+    assert ds.x.shape == (9, 32, 32, 3)
+    np.testing.assert_array_equal(ds.x[2], x[..., 2])
+    # torchvision's label remap: 10 -> 0
+    np.testing.assert_array_equal(ds.y, [0, 1, 2, 3, 4, 5, 0, 7, 8])
+
+
+def test_stl10_native_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_stl10
+
+    base = tmp_path / "stl10_binary"
+    base.mkdir()
+    rng = np.random.default_rng(5)
+    n = 4
+    x = rng.integers(0, 256, size=(n, 3, 96, 96), dtype=np.uint8)
+    y = rng.integers(1, 11, size=(n,), dtype=np.uint8)  # 1-indexed on disk
+    (base / "test_X.bin").write_bytes(x.tobytes())
+    (base / "test_y.bin").write_bytes(y.tobytes())
+    ds = load_stl10(str(tmp_path), train=False, download=False)
+    assert ds.x.shape == (n, 96, 96, 3)
+    np.testing.assert_array_equal(ds.y, y.astype(np.int32) - 1)
+    # column-major planes: disk (C, W, H) -> memory NHWC
+    np.testing.assert_array_equal(ds.x[0, :, :, 0], x[0, 0].T)
+
+
+def test_unknown_dataset_lists_alternatives():
+    with pytest.raises(ValueError, match="MNIST"):
+        get_dataset("NoSuchDataset", "/tmp", train=True)
+
+
 def test_synthetic_determinism():
     a = load_synthetic(None, train=True)
     b = load_synthetic(None, train=True)

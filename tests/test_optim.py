@@ -102,6 +102,36 @@ def test_adamw_matches_torch():
              tol=1e-4)
 
 
+def test_adagrad_matches_torch():
+    _compare(lambda ps: tc.optim.Adagrad(ps, lr=0.1),
+             optim_lib.get_optimizer("Adagrad", {"lr": 0.1}), tol=1e-4)
+    _compare(
+        lambda ps: tc.optim.Adagrad(
+            ps, lr=0.1, lr_decay=0.01, weight_decay=1e-3,
+            initial_accumulator_value=0.5),
+        optim_lib.get_optimizer("Adagrad", {
+            "lr": 0.1, "lr_decay": 0.01, "weight_decay": 1e-3,
+            "initial_accumulator_value": 0.5}),
+        tol=1e-4)
+
+
+def test_nadam_matches_torch():
+    _compare(lambda ps: tc.optim.NAdam(ps, lr=0.1),
+             optim_lib.get_optimizer("NAdam", {"lr": 0.1}), tol=1e-4)
+    _compare(
+        lambda ps: tc.optim.NAdam(ps, lr=0.1, weight_decay=0.01),
+        optim_lib.get_optimizer("NAdam", {"lr": 0.1, "weight_decay": 0.01}),
+        tol=1e-4)
+    _compare(
+        lambda ps: tc.optim.NAdam(ps, lr=0.1, weight_decay=0.01,
+                                  decoupled_weight_decay=True,
+                                  momentum_decay=6e-3),
+        optim_lib.get_optimizer("NAdam", {
+            "lr": 0.1, "weight_decay": 0.01, "decoupled_weight_decay": True,
+            "momentum_decay": 6e-3}),
+        tol=1e-4)
+
+
 def test_rmsprop_matches_torch():
     _compare(lambda ps: tc.optim.RMSprop(ps, lr=0.1),
              optim_lib.get_optimizer("RMSprop", {"lr": 0.1}), tol=1e-4)
@@ -162,6 +192,77 @@ def test_scheduler_lr_sequence_matches_torch(name, args, make_torch):
     ours = optim_lib.get_scheduler(name, args, base_lr=0.1)
     got = _our_lr_sequence(ours, n)
     np.testing.assert_allclose(got, ref, rtol=1e-6, err_msg=name)
+
+
+NEW_SCHED_CASES = [
+    ("LambdaLR", {"lr_lambda": "0.95 ** epoch"},
+     lambda opt: tc.optim.lr_scheduler.LambdaLR(opt, lambda e: 0.95 ** e)),
+    ("LambdaLR", {"lr_lambda": "1.0 / (1.0 + 0.5 * epoch)"},
+     lambda opt: tc.optim.lr_scheduler.LambdaLR(
+         opt, lambda e: 1.0 / (1.0 + 0.5 * e))),
+    ("OneCycleLR", {"max_lr": 0.4, "total_steps": 12, "pct_start": 0.3},
+     lambda opt: tc.optim.lr_scheduler.OneCycleLR(
+         opt, max_lr=0.4, total_steps=12, pct_start=0.3,
+         cycle_momentum=False)),
+    ("OneCycleLR", {"max_lr": 0.4, "total_steps": 12, "pct_start": 0.25,
+                    "anneal_strategy": "linear", "three_phase": True},
+     lambda opt: tc.optim.lr_scheduler.OneCycleLR(
+         opt, max_lr=0.4, total_steps=12, pct_start=0.25,
+         anneal_strategy="linear", three_phase=True, cycle_momentum=False)),
+    ("CyclicLR", {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 3},
+     lambda opt: tc.optim.lr_scheduler.CyclicLR(
+         opt, base_lr=0.01, max_lr=0.1, step_size_up=3,
+         cycle_momentum=False)),
+    ("CyclicLR", {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 3,
+                  "step_size_down": 2, "mode": "triangular2"},
+     lambda opt: tc.optim.lr_scheduler.CyclicLR(
+         opt, base_lr=0.01, max_lr=0.1, step_size_up=3, step_size_down=2,
+         mode="triangular2", cycle_momentum=False)),
+    ("CyclicLR", {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 4,
+                  "mode": "exp_range", "gamma": 0.9},
+     lambda opt: tc.optim.lr_scheduler.CyclicLR(
+         opt, base_lr=0.01, max_lr=0.1, step_size_up=4, mode="exp_range",
+         gamma=0.9, cycle_momentum=False)),
+    ("CosineAnnealingWarmRestarts", {"T_0": 4, "T_mult": 2, "eta_min": 1e-3},
+     lambda opt: tc.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+         opt, T_0=4, T_mult=2, eta_min=1e-3)),
+    ("CosineAnnealingWarmRestarts", {"T_0": 3},
+     lambda opt: tc.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=3)),
+]
+
+
+@pytest.mark.parametrize("name,args,make_torch", NEW_SCHED_CASES)
+def test_new_scheduler_lr_sequence_matches_torch(name, args, make_torch):
+    n = 12
+    ref = _torch_lr_sequence(make_torch, n)
+    ours = optim_lib.get_scheduler(name, args, base_lr=0.1)
+    got = _our_lr_sequence(ours, n)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, err_msg=name)
+
+
+def test_lambda_lr_rejects_unsafe_expressions():
+    with pytest.raises(ValueError):
+        optim_lib.get_scheduler(
+            "LambdaLR", {"lr_lambda": "__import__('os').getpid()"},
+            base_lr=0.1)
+    with pytest.raises(ValueError):
+        optim_lib.get_scheduler(
+            "LambdaLR", {"lr_lambda": "open('/etc/passwd')"}, base_lr=0.1)
+
+
+def test_warm_restarts_checkpoint_roundtrip():
+    args = {"T_0": 3, "T_mult": 2, "eta_min": 1e-3}
+    s = optim_lib.get_scheduler("CosineAnnealingWarmRestarts", args,
+                                base_lr=0.1)
+    for _ in range(5):
+        s.step()
+    s2 = optim_lib.get_scheduler("CosineAnnealingWarmRestarts", args,
+                                 base_lr=0.1)
+    s2.load_state_dict(s.state_dict())
+    for _ in range(4):
+        s.step()
+        s2.step()
+    assert s2.get_lr() == s.get_lr()
 
 
 def test_plateau_matches_torch():
