@@ -15,6 +15,16 @@ Capability parity with reference resnet/architectures/residual_block.py:
   (residual_block.py:121-123) so the WRN bottleneck widening falls out.
 - Per-conv dropout (WRN-style) with probability ``dropout_prob``.
 
+Extension beyond the reference (documented divergence): optional explicit
+``out_channels_override`` / ``width_override`` / ``stride_override`` fields
+generalize the fixed "downsample doubles channels, width = channels//4|2"
+rules so ImageNet-family stage plans (ResNet-50/101/152, WRN-50-2: first
+stage quadruples channels at stride 1; inner width decoupled from channel
+count) are expressible. The reference *claims* WRN-50-2 in its README
+(README.md:76-77) but its parser cannot build it; the extended spec tokens
+in resnet.py close that gap. Legacy constructions (overrides None) are
+bit-identical to before.
+
 Block convs keep torch's *default* initializer — the reference's
 kaiming_normal pass touches only top-level convs (resnet.py:160-163).
 """
@@ -22,7 +32,7 @@ kaiming_normal pass touches only top-level convs (resnet.py:160-163).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +46,10 @@ from pytorch_ddp_resnet_tpu.models.layers import (
 )
 
 
-def _subsample2(x):
-    """AvgPool2d(kernel=1, stride=2): every other pixel, no averaging."""
-    return x[:, ::2, ::2, :]
+def _subsample(x, stride: int):
+    """AvgPool2d(kernel=1, stride=s): every s-th pixel, no averaging
+    (identity when stride == 1)."""
+    return x[:, ::stride, ::stride, :] if stride != 1 else x
 
 
 def _zero_pad_channels(x, extra: int):
@@ -103,6 +114,8 @@ class ResidualBlock(_BlockBase):
     dropout_prob: float
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
+    out_channels_override: Optional[int] = None
+    stride_override: Optional[int] = None
 
     @property
     def in_channels(self) -> int:
@@ -110,12 +123,24 @@ class ResidualBlock(_BlockBase):
 
     @property
     def out_channels(self) -> int:
+        if self.out_channels_override is not None:
+            return self.out_channels_override
         return self.channels * 2 if self.downsample else self.channels
+
+    @property
+    def stride(self) -> int:
+        if self.stride_override is not None:
+            return self.stride_override
+        return 2 if self.downsample else 1
+
+    @property
+    def transforms_shortcut(self) -> bool:
+        return self.stride != 1 or self.out_channels != self.in_channels
 
     def _sublayers(self):
         cin, cout, cd = self.in_channels, self.out_channels, self.compute_dtype
         layers = [
-            ("conv1", Conv(cin, cout, 3, stride=2 if self.downsample else 1,
+            ("conv1", Conv(cin, cout, 3, stride=self.stride,
                            padding=1, use_bias=False, compute_dtype=cd), "main"),
             ("conv2", Conv(cout, cout, 3, stride=1, padding=1,
                            use_bias=False, compute_dtype=cd), "main"),
@@ -125,7 +150,7 @@ class ResidualBlock(_BlockBase):
             ("drop1", Dropout(self.dropout_prob), "main"),
             ("drop2", Dropout(self.dropout_prob), "main"),
         ]
-        if self.downsample and self.use_proj:
+        if self.transforms_shortcut and self.use_proj:
             layers.append(
                 ("proj", Conv(cin, cout, 1, stride=1, padding=0,
                               use_bias=False, compute_dtype=cd), "shortcut"))
@@ -134,10 +159,9 @@ class ResidualBlock(_BlockBase):
     def init(self, rng, in_shape: Shape):
         # Explicit wiring: sublayer roles don't form a simple chain here.
         params, state = {}, {}
-        shape = in_shape
         h, w, cin = in_shape
-        cout = self.out_channels
-        oh, ow = (h // 2, w // 2) if self.downsample else (h, w)
+        cout, s = self.out_channels, self.stride
+        oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
         shapes = {
             "conv1": in_shape, "conv2": (oh, ow, cout),
             "norm1": in_shape if self.preact else (oh, ow, cout),
@@ -146,11 +170,11 @@ class ResidualBlock(_BlockBase):
             "proj": (oh, ow, cin),
         }
         for i, (name, layer, _) in enumerate(self._sublayers()):
-            p, s, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
+            p, st, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
             if p:
                 params[name] = p
-            if s:
-                state[name] = s
+            if st:
+                state[name] = st
         return params, state, (oh, ow, cout)
 
     def _forward(self, run, x, train):
@@ -161,12 +185,12 @@ class ResidualBlock(_BlockBase):
         else:
             x = jnp.maximum(run("norm1", run("conv1", run("drop1", x))), 0)
             x = run("norm2", run("conv2", run("drop2", x)))
-        if self.downsample:
-            i = _subsample2(i)
+        if self.transforms_shortcut:
+            i = _subsample(i, self.stride)
             if self.use_proj:
                 i = run("proj", i)
             else:
-                i = _zero_pad_channels(i, self.in_channels)
+                i = _zero_pad_channels(i, self.out_channels - self.in_channels)
         h = i.astype(x.dtype) + x
         if not self.preact:
             h = jnp.maximum(h, 0)
@@ -184,6 +208,9 @@ class BottleneckResidualBlock(_BlockBase):
     dropout_prob: float
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
+    out_channels_override: Optional[int] = None
+    width_override: Optional[int] = None
+    stride_override: Optional[int] = None
 
     @property
     def in_channels(self) -> int:
@@ -191,18 +218,32 @@ class BottleneckResidualBlock(_BlockBase):
 
     @property
     def bottleneck_channels(self) -> int:
+        if self.width_override is not None:
+            return self.width_override
         return self.channels // 2 if self.downsample else self.channels // 4
 
     @property
     def out_channels(self) -> int:
+        if self.out_channels_override is not None:
+            return self.out_channels_override
         return self.channels * 2 if self.downsample else self.channels
+
+    @property
+    def stride(self) -> int:
+        if self.stride_override is not None:
+            return self.stride_override
+        return 2 if self.downsample else 1
+
+    @property
+    def transforms_shortcut(self) -> bool:
+        return self.stride != 1 or self.out_channels != self.in_channels
 
     def _sublayers(self):
         cin, cb, cout = self.in_channels, self.bottleneck_channels, self.out_channels
         cd = self.compute_dtype
         layers = [
             ("conv1", Conv(cin, cb, 1, use_bias=False, compute_dtype=cd), "main"),
-            ("conv2", Conv(cb, cb, 3, stride=2 if self.downsample else 1,
+            ("conv2", Conv(cb, cb, 3, stride=self.stride,
                            padding=1, use_bias=False, compute_dtype=cd), "main"),
             ("conv3", Conv(cb, cout, 1, use_bias=False, compute_dtype=cd), "main"),
             ("norm1", BatchNorm(cin if self.preact else cb, compute_dtype=cd), "m"),
@@ -212,15 +253,15 @@ class BottleneckResidualBlock(_BlockBase):
             ("drop2", Dropout(self.dropout_prob), "m"),
             ("drop3", Dropout(self.dropout_prob), "m"),
         ]
-        if self.downsample and self.use_proj:
+        if self.transforms_shortcut and self.use_proj:
             layers.append(
                 ("proj", Conv(cin, cout, 1, use_bias=False, compute_dtype=cd), "s"))
         return layers
 
     def init(self, rng, in_shape: Shape):
         h, w, cin = in_shape
-        cb, cout = self.bottleneck_channels, self.out_channels
-        oh, ow = (h // 2, w // 2) if self.downsample else (h, w)
+        cb, cout, s = self.bottleneck_channels, self.out_channels, self.stride
+        oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
         shapes = {
             "conv1": in_shape,
             "conv2": (h, w, cb),
@@ -233,11 +274,11 @@ class BottleneckResidualBlock(_BlockBase):
         }
         params, state = {}, {}
         for i, (name, layer, _) in enumerate(self._sublayers()):
-            p, s, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
+            p, st, _ = layer.init(jax.random.fold_in(rng, i), shapes[name])
             if p:
                 params[name] = p
-            if s:
-                state[name] = s
+            if st:
+                state[name] = st
         return params, state, (oh, ow, cout)
 
     def _forward(self, run, x, train):
@@ -250,12 +291,12 @@ class BottleneckResidualBlock(_BlockBase):
             x = jnp.maximum(run("norm1", run("conv1", run("drop1", x))), 0)
             x = jnp.maximum(run("norm2", run("conv2", run("drop2", x))), 0)
             x = run("norm3", run("conv3", run("drop3", x)))
-        if self.downsample:
-            i = _subsample2(i)
+        if self.transforms_shortcut:
+            i = _subsample(i, self.stride)
             if self.use_proj:
                 i = run("proj", i)
             else:
-                i = _zero_pad_channels(i, self.in_channels)
+                i = _zero_pad_channels(i, self.out_channels - self.in_channels)
         h = i.astype(x.dtype) + x
         if not self.preact:
             h = jnp.maximum(h, 0)

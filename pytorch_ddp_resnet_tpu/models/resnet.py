@@ -26,6 +26,21 @@ Divergence (documented, deliberate): a spec *starting* with ``r``/``b``
 indexes token[-1] in the reference (Python negative indexing) — here it
 simply never downsamples; no shipped or sane spec starts with a stack.
 
+Extension beyond the reference (documented divergence): multi-int stack
+tokens express ImageNet-family stage plans the reference's parser cannot
+(its README claims WRN-50-2, README.md:76-77, but the fixed
+"downsample=2x channels, width=channels//4|2" rules cannot build it):
+
+      rD,O,S       D basic blocks; first block: out-channels O, stride S
+      bD,O,W,S     D bottleneck blocks; first block: out O, inner width W,
+                   stride S; later blocks keep O and W at stride 1
+
+  e.g. the real WRN-50-2 (torchvision ``wide_resnet50_2`` stage plan):
+      c3,64,7,2,3 n a mp3,2,1 b3,256,128,1 b4,512,256,2 b6,1024,512,2
+      b3,2048,1024,2 ap7,1,0 fc2048,1000
+  and ResNet-50 is the same plan with widths 64,128,256,512. Single-int
+  ``rD``/``bD`` tokens keep the reference's exact legacy semantics.
+
 The model is a pure-function pair: ``init(rng, input_shape)`` builds the
 (params, state) pytrees; ``apply`` is jit/shard/grad-friendly.
 """
@@ -69,6 +84,19 @@ def extract_ints(token: str, num: int):
     return ints[0] if num == 1 else ints
 
 
+def extract_int_list(token: str, allowed_counts) -> Tuple[int, ...]:
+    """Variable-arity token payload (extended stack tokens)."""
+    m = _COMPONENT_RE.match(token)
+    if m is None or m.group(2) is None:
+        raise ValueError(f"Cannot parse spec component {token!r}.")
+    ints = tuple(int(v) for v in m.group(2).split(","))
+    if len(ints) not in allowed_counts:
+        raise ValueError(
+            f"Spec component {token!r} carries {len(ints)} ints, expected one "
+            f"of {sorted(allowed_counts)}.")
+    return ints
+
+
 def parse_spec(
     architecture_spec: str,
     preact: bool,
@@ -83,12 +111,34 @@ def parse_spec(
     channels: Optional[int] = None
     cd = compute_dtype
 
-    def block_stack(kind: str, n: int, depth: int):
+    def block_stack(kind: str, n: int, tok: str):
         nonlocal channels
-        downsample = n > 0 and tokens[n - 1].startswith(kind[0])
-        cin = channels
-        cout = 2 * channels if downsample else channels
         cls = ResidualBlock if kind == "r" else BottleneckResidualBlock
+        ints = extract_int_list(tok, {1, 3} if kind == "r" else {1, 4})
+        if len(ints) == 1:
+            # legacy reference semantics: adjacency downsampling rule
+            depth = ints[0]
+            downsample = n > 0 and tokens[n - 1].startswith(kind[0])
+            cin = channels
+            cout = 2 * channels if downsample else channels
+            overrides = {}
+            first_overrides = {}
+        else:
+            # extended stage plan: explicit out-channels / width / stride
+            if kind == "r":
+                depth, cout, stride = ints
+                width = None
+            else:
+                depth, cout, width, stride = ints
+            cin = channels
+            downsample = False  # overrides drive the geometry
+            overrides = {"out_channels_override": cout,
+                         "width_override": width,
+                         "stride_override": 1}
+            first_overrides = {**overrides, "stride_override": stride}
+            if kind == "r":
+                overrides.pop("width_override")
+                first_overrides.pop("width_override")
         blocks = []
         for ell in range(depth):
             blocks.append((
@@ -97,7 +147,8 @@ def parse_spec(
                     downsample=downsample if ell == 0 else False,
                     preact=preact, use_proj=use_proj,
                     dropout_prob=dropout_prob, compute_dtype=cd,
-                    remat=remat),
+                    remat=remat,
+                    **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
         return Sequential(tuple(blocks))
@@ -118,10 +169,10 @@ def parse_spec(
             layer = AvgPool(k, s, p)
             name = f"{n:02d}_avgpool"
         elif tok.startswith("r"):
-            layer = block_stack("r", n, extract_ints(tok, 1))
+            layer = block_stack("r", n, tok)
             name = f"{n:02d}_stack"
         elif tok.startswith("b"):
-            layer = block_stack("b", n, extract_ints(tok, 1))
+            layer = block_stack("b", n, tok)
             name = f"{n:02d}_stack"
         elif tok.startswith("n"):
             layer = BatchNorm(channels, compute_dtype=cd)

@@ -24,10 +24,17 @@ KNOWN_PARAMS = {
     "resnet-v1-110_cifar10": 1727978,
     "resnet-v2-164_cifar10": 1704458,
     "wrn-28-10-dropout_cifar10": 36688330,
-    "wrn-50-2-bottleneck_ilsvrc2012": 1999016,
+    # canonical bottleneck plan; torchvision resnet50 is 25,557,032 — same
+    # shortcut-convention delta as WRN-50-2 below
+    "resnet-50_ilsvrc2012": 25549416,
+    # the real WRN-50-2 stage plan; torchvision wide_resnet50_2 is 68,883,240
+    # — delta is this framework's reference-inherited shortcut convention
+    # (no BN after the projection conv: -7,680) and the stem conv bias (+64)
+    "wrn-50-2-bottleneck_ilsvrc2012": 68875624,
 }
 
-INPUT_HW = {"wrn-50-2-bottleneck_ilsvrc2012": 224}
+INPUT_HW = {"wrn-50-2-bottleneck_ilsvrc2012": 224,
+            "resnet-50_ilsvrc2012": 224}
 
 RUNS = sorted(os.listdir(MODELS_DIR))
 

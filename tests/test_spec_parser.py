@@ -4,6 +4,7 @@ Golden parameter counts and shapes were measured by instantiating the
 reference torch models directly (see docstrings per test)."""
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -98,3 +99,92 @@ def test_golden_param_counts_and_shapes(name, spec, preact, proj, hw, classes, c
     logits, _ = model.apply(params, state, x, train=False)
     assert logits.shape == (2, classes)
     assert logits.dtype == jnp.float32
+
+
+# --- extended stack tokens (framework extension; models/resnet.py) ----------
+
+
+EXTENDED_GOLDENS = [
+    # torchvision wide_resnet50_2 = 68,883,240; ours has no shortcut BNs
+    # (-7,680, reference shortcut convention) and a stem-conv bias (+64)
+    ("wrn-50-2",
+     "c3,64,7,2,3 n a mp3,2,1 b3,256,128,1 b4,512,256,2 b6,1024,512,2 "
+     "b3,2048,1024,2 ap7,1,0 fc2048,1000", False, True, 224, 1000, 68875624),
+    # torchvision resnet50 = 25,557,032; same -7,616 convention delta
+    ("resnet-50",
+     "c3,64,7,2,3 n a mp3,2,1 b3,256,64,1 b4,512,128,2 b6,1024,256,2 "
+     "b3,2048,512,2 ap7,1,0 fc2048,1000", False, True, 224, 1000, 25549416),
+]
+
+
+@pytest.mark.parametrize("name,spec,preact,proj,hw,classes,count",
+                         EXTENDED_GOLDENS)
+def test_extended_golden_param_counts(name, spec, preact, proj, hw, classes,
+                                      count):
+    model = ResNet(spec, preact, proj, 0.0, compute_dtype=jnp.float32)
+    params, state = model.init(jax.random.key(0), (hw, hw, 3))
+    assert model.param_count(params) == count, name
+    x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    logits, _ = model.apply(params, state, x, train=False)
+    assert logits.shape == (1, classes)
+
+
+def test_extended_tokens_match_legacy_semantics():
+    """rD,O,S / bD,O,W,S with the legacy geometry must build the numerically
+    identical model as the adjacency rule (same init key => same params)."""
+    legacy = ResNet("c3,16,3,1,1 n a r2 r2 ap16,1,0 fc32,10",
+                    preact=False, use_proj=True, dropout_prob=0.0,
+                    compute_dtype=jnp.float32)
+    # second stack: legacy adjacency => out 32, stride 2
+    ext = ResNet("c3,16,3,1,1 n a r2 r2,32,2 ap16,1,0 fc32,10",
+                 preact=False, use_proj=True, dropout_prob=0.0,
+                 compute_dtype=jnp.float32)
+    pl, sl = legacy.init(jax.random.key(7), (32, 32, 3))
+    pe, se = ext.init(jax.random.key(7), (32, 32, 3))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), pl, pe)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    yl, _ = legacy.apply(pl, sl, x, train=False)
+    ye, _ = ext.apply(pe, se, x, train=False)
+    np.testing.assert_array_equal(np.asarray(yl), np.asarray(ye))
+
+
+def test_extended_bottleneck_legacy_equivalence():
+    legacy = ResNet("c3,64,3,1,1 b2 b2 ap16,1,0 fc128,10",
+                    preact=True, use_proj=True, dropout_prob=0.0,
+                    compute_dtype=jnp.float32)
+    # legacy second b-stack: downsample => out 128, width 64//... width rule:
+    # channels//2 when downsampling = 32? No: first block channels=64,
+    # downsample => width 64//2=32, out 128; later blocks width 128//4=32.
+    ext = ResNet("c3,64,3,1,1 b2 b2,128,32,2 ap16,1,0 fc128,10",
+                 preact=True, use_proj=True, dropout_prob=0.0,
+                 compute_dtype=jnp.float32)
+    pl, sl = legacy.init(jax.random.key(3), (32, 32, 3))
+    pe, se = ext.init(jax.random.key(3), (32, 32, 3))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), pl, pe)
+
+
+def test_extended_token_arity_errors():
+    with pytest.raises(ValueError, match="expected one of"):
+        parse_spec("c3,16,3,1,1 r2,32 fc16,10", False, True, 0.0)
+    with pytest.raises(ValueError, match="expected one of"):
+        parse_spec("c3,16,3,1,1 b2,32,16 fc16,10", False, True, 0.0)
+
+
+def test_extended_stage_stride1_channel_change_uses_projection():
+    # first ImageNet stage: 64 -> 256 at stride 1 (not expressible before)
+    model = ResNet("c3,64,3,1,1 b2,256,64,1 ap32,1,0 fc256,10",
+                   preact=False, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.float32)
+    params, state = model.init(jax.random.key(0), (32, 32, 3))
+    stack = model.spine.layers[1][1]
+    b0 = stack.layers[0][1]
+    assert b0.transforms_shortcut and b0.stride == 1
+    assert "proj" in params["01_stack"]["block0"]
+    b1 = stack.layers[1][1]
+    assert not b1.transforms_shortcut
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    y, _ = model.apply(params, state, x, train=False)
+    assert y.shape == (1, 10)
