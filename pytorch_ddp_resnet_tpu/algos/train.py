@@ -46,7 +46,7 @@ from pytorch_ddp_resnet_tpu.data.datasets import ArrayDataset, get_dataset
 from pytorch_ddp_resnet_tpu.data.pipeline import ResidentPipeline, build_transforms
 from pytorch_ddp_resnet_tpu.data.transforms import make_batch_augment_fn
 from pytorch_ddp_resnet_tpu.models.resnet import ResNet
-from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh, replicated_sharding
+from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh, put_replicated
 from pytorch_ddp_resnet_tpu.utils import tb
 from pytorch_ddp_resnet_tpu.utils.checkpoint import (
     PytreeCheckpointable,
@@ -72,6 +72,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     """Build the full learning system from a run config
     (reference: script.py:50-108). Returns the dict of handles the loops
     consume, including the restored ``global_step``."""
+    verbose = verbose and jax.process_index() == 0
     missing = [k for k in _REQUIRED_KEYS if config.get(k) is None
                and k not in ("data_aug_train", "data_aug_test")]
     if missing:
@@ -175,7 +176,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     # The final transform's output shape decides the model's input shape.
     train_state = init_train_state(
         model, optimizer, jax.random.key(config.get("seed", 0)), sample_shape)
-    train_state = jax.device_put(train_state, replicated_sharding(mesh))
+    train_state = put_replicated(train_state, mesh)
 
     # Checkpoint kinds mirror the reference's (script.py:84-94):
     # checkpoint_strategy / classifier / optimizer / scheduler. The 'scaler'
@@ -194,11 +195,11 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         },
         verbose=verbose)
     if global_step > 0:
-        train_state = jax.device_put(
+        train_state = put_replicated(
             {"params": classifier_ckpt.tree["params"],
              "model_state": classifier_ckpt.tree["model_state"],
              "opt_state": optimizer_ckpt.tree},
-            replicated_sharding(mesh))
+            mesh)
 
     return {
         "mesh": mesh,
@@ -217,6 +218,11 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
 
 
 def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps):
+    # Coordinator-only writes (reference: rank-0-only saves, training.py:129);
+    # on a shared filesystem every host would otherwise race on the same
+    # files. Every process still *observes* the strategy so counters agree.
+    if jax.process_index() != 0:
+        return
     host_state = jax.device_get(train_state)
     save_checkpoints(
         checkpoint_dir,
@@ -261,6 +267,11 @@ def training_loop(
         jax.profiler.start_server(int(config.get("profile_port")))
     profile_steps = config.get("profile_steps")
 
+    # non-coordinator processes on a pod stay silent and write nothing
+    # (reference: rank-0-only logging, training.py:77-78, 121-127)
+    is_coordinator = jax.process_index() == 0
+    verbose = verbose and is_coordinator
+
     base_step = make_train_step(
         model, optimizer, num_microbatches, augment_fn=ls["augment_fn"],
         grad_reduction=config.get("microbatch_grad_reduction", "sum"))
@@ -271,7 +282,7 @@ def training_loop(
     eval_step_fn = jax.jit(
         pipeline.bind_eval_step(make_eval_step(model, ls["preprocess_fn"])))
 
-    writer = tb.SummaryWriter(log_dir)
+    writer = tb.SummaryWriter(log_dir) if is_coordinator else tb.NullWriter()
     # Per-step randomness (dropout masks, flips, crops) uses the RBG PRNG by
     # default: threefry bit generation costs ~43% of a WRN-28-10 step on
     # v5e (113ms -> 64ms without dropout; 71ms with rbg, measured), while

@@ -41,7 +41,11 @@ from pytorch_ddp_resnet_tpu.data.transforms import (
     get_transform_cls,
     make_batch_augment_fn,
 )
-from pytorch_ddp_resnet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from pytorch_ddp_resnet_tpu.parallel.mesh import (
+    batch_sharding,
+    put_global,
+    replicated_sharding,
+)
 from pytorch_ddp_resnet_tpu.utils.checkpoint import (
     maybe_load_checkpoint,
     save_checkpoint,
@@ -209,10 +213,12 @@ class ResidentPipeline:
         self.num_microbatches = num_microbatches
         rep = replicated_sharding(mesh)
         self._data_sharding = batch_sharding(mesh)
-        self.train_x = jax.device_put(dataset_train.x, rep)
-        self.train_y = jax.device_put(dataset_train.y.astype(np.int32), rep)
-        self.test_x = jax.device_put(dataset_test.x, rep)
-        self.test_y = jax.device_put(dataset_test.y.astype(np.int32), rep)
+        # every host loads the identical (small) dataset; put_global places
+        # it on pods where device_put cannot address remote chips
+        self.train_x = put_global(dataset_train.x, rep)
+        self.train_y = put_global(dataset_train.y.astype(np.int32), rep)
+        self.test_x = put_global(dataset_test.x, rep)
+        self.test_y = put_global(dataset_test.y.astype(np.int32), rep)
         self.sampler_train = EpochSampler(
             len(dataset_train), batch_size, num_microbatches, seed=shuffle_seed)
         eval_bs = eval_batch_size or batch_size
@@ -234,13 +240,13 @@ class ResidentPipeline:
 
         idx_sharding = NamedSharding(self.mesh, P(None, "data"))
         for idx in self.sampler_train.epoch_indices(epoch):
-            yield jax.device_put(idx, idx_sharding)
+            yield put_global(idx, idx_sharding)
 
     def eval_batches(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Yields sharded (idx, mask) pairs covering the test set exactly."""
         for idx, mask in self.sampler_test.batches():
-            yield (jax.device_put(idx, self._data_sharding),
-                   jax.device_put(mask, self._data_sharding))
+            yield (put_global(idx, self._data_sharding),
+                   put_global(mask, self._data_sharding))
 
     # --- uniform pipeline interface (shared with StreamingPipeline) --------
 

@@ -38,7 +38,11 @@ from pytorch_ddp_resnet_tpu.data.transforms import (
     RandomScaleTransform,
     Transform,
 )
-from pytorch_ddp_resnet_tpu.parallel.mesh import batch_sharding
+from pytorch_ddp_resnet_tpu.parallel.mesh import (
+    batch_sharding,
+    process_local_extent,
+    put_process_local,
+)
 
 
 def _decode_image(path: str) -> np.ndarray:
@@ -239,7 +243,12 @@ class StreamingPipeline:
             abandoned.set()
 
     def train_batches(self, epoch: int):
-        """Yields device-put (x (M, mb, H, W, C) uint8, y (M, mb)) batches."""
+        """Yields device-put (x (M, mb, H, W, C) uint8, y (M, mb)) batches.
+
+        Multi-host: every host computes the identical epoch permutation (same
+        seed), but each host decodes only the slice of every microbatch its
+        own devices consume — no redundant full-batch decode on pods
+        (SURVEY.md §5.8: the DistributedSampler replacement)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = len(self.train_ds)
@@ -249,18 +258,23 @@ class StreamingPipeline:
         if total > n:
             perm = np.resize(perm, total)  # wrap/tile to whole batches
         mb = self.batch_size // self.num_microbatches
+        M = self.num_microbatches
         sharding = NamedSharding(self.mesh, P(None, "data"))
+        hwc = (self.crop_size, self.crop_size, 3)
+        # the microbatch dim (axis 1) is the sharded one
+        lo, hi = process_local_extent(sharding, (M, mb) + hwc, axis=1)
 
         def produce():
             for b in range(self.steps_per_epoch):
                 sel = perm[b * self.batch_size:(b + 1) * self.batch_size]
+                sel = sel.reshape(M, mb)[:, lo:hi].reshape(-1)
                 x, y = self._assemble(self.train_ds.paths,
                                       self.train_ds.labels,
                                       self._proc_train, epoch, sel)
-                x = x.reshape(self.num_microbatches, mb, *x.shape[1:])
-                y = y.reshape(self.num_microbatches, mb)
-                yield (jax.device_put(x, sharding),
-                       jax.device_put(y, sharding))
+                x = x.reshape(M, hi - lo, *x.shape[1:])
+                y = y.reshape(M, hi - lo)
+                yield (put_process_local(x, sharding, (M, mb) + hwc),
+                       put_process_local(y, sharding, (M, mb)))
 
         yield from self._prefetch(produce())
 
@@ -268,21 +282,24 @@ class StreamingPipeline:
         """Yields device-put (x, y, mask) covering the test set exactly."""
         n = len(self.test_ds)
         bs = self.batch_size
+        hwc = (self.crop_size, self.crop_size, 3)
+        lo, hi = process_local_extent(self._sharding, (bs,) + hwc, axis=0)
 
         def produce():
             for start in range(0, n, bs):
                 idx = np.arange(start, min(start + bs, n))
-                x, y = self._assemble(self.test_ds.paths, self.test_ds.labels,
-                                      self._proc_test, 0, idx)
                 pad = bs - len(idx)
                 mask = np.ones((bs,), np.float32)
                 if pad:
-                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                    y = np.concatenate([y, np.zeros((pad,), np.int32)])
                     mask[len(idx):] = 0.0
-                yield (jax.device_put(x, self._sharding),
-                       jax.device_put(y, self._sharding),
-                       jax.device_put(mask, self._sharding))
+                    idx = np.concatenate(
+                        [idx, np.full((pad,), idx[-1], idx.dtype)])
+                x, y = self._assemble(self.test_ds.paths, self.test_ds.labels,
+                                      self._proc_test, 0, idx[lo:hi])
+                y = np.where(mask[lo:hi] > 0, y, 0).astype(np.int32)
+                yield (put_process_local(x, self._sharding, (bs,) + hwc),
+                       put_process_local(y, self._sharding, (bs,)),
+                       put_process_local(mask[lo:hi], self._sharding, (bs,)))
 
         yield from self._prefetch(produce())
 

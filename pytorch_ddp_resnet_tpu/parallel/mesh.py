@@ -11,12 +11,19 @@ The mesh is 1-D today because data parallelism is the only strategy the
 reference has (SURVEY.md §2.2), but the axis is named so tensor/spatial axes
 can be added later without changing call sites.
 
-Multi-host note: on a pod slice (after ``jax.distributed.initialize()``) the
-resident pipeline works because every host computes identical deterministic
-epoch permutations and holds the full (small) dataset; the host->device
-placement of index arrays then shards consistently. Streaming ImageNet on
-pods should move to ``jax.make_array_from_process_local_data`` with per-host
-file sharding (ROADMAP.md #3).
+Multi-host story (SURVEY.md §5.8): after ``jax.distributed.initialize()``
+each process only *addresses* its local chips, so host arrays cannot be
+``device_put`` onto the global mesh directly. Two placement helpers cover
+the two data planes:
+
+- ``put_global``: every host holds the identical full array (deterministic
+  epoch permutations, HBM-resident small datasets, replicated train state);
+  each process contributes the shards its own devices need.
+- ``put_process_local``: each host holds only *its* contiguous slice of the
+  global batch (the streaming pipeline decodes only local rows — hosts never
+  redundantly decode the full batch); assembled with
+  ``jax.make_array_from_process_local_data``, the DistributedSampler
+  replacement.
 """
 
 from __future__ import annotations
@@ -67,6 +74,55 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, tree, axis_name: str = DATA_AXIS):
     """Place a host pytree onto the mesh, sharded along the batch dim."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host-global array onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``. Multi-process: every host holds the
+    identical full array (guaranteed by the deterministic samplers/pipelines)
+    and contributes only the shards its addressable devices own.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree across the mesh (params, optimizer state)."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
+
+
+def process_local_extent(sharding: NamedSharding, global_shape, axis: int):
+    """(start, stop) of the contiguous rows this process's devices own along
+    ``axis``. With a 1-D mesh built over ``jax.devices()`` (process-major
+    order) each process owns one contiguous block; asserted, not assumed."""
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    spans = []
+    for idx in idx_map.values():
+        sl = idx[axis]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else global_shape[axis]
+        spans.append((start, stop))
+    spans.sort()
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = 0
+    for s, t in spans:
+        covered += t - s
+    if covered != hi - lo:
+        raise ValueError(
+            f"Process-local shards are not contiguous along axis {axis}: "
+            f"{spans}. Build the mesh over jax.devices() order.")
+    return lo, hi
+
+
+def put_process_local(local, sharding: NamedSharding, global_shape):
+    """Assemble a global array from this process's local slice (the
+    DistributedSampler replacement for multi-host input pipelines)."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local), tuple(global_shape))

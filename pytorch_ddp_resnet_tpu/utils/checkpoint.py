@@ -72,7 +72,10 @@ def _clean(base_path: str, kind: str, n: int = 5) -> None:
     for fname in os.listdir(base_path):
         parsed = _parse_name(fname)
         if parsed and parsed["kind"] == kind and parsed["steps"] not in keep:
-            os.remove(os.path.join(base_path, fname))
+            try:
+                os.remove(os.path.join(base_path, fname))
+            except FileNotFoundError:  # another process GC'd it first
+                pass
 
 
 # --- pytree <-> flat dict --------------------------------------------------
@@ -148,7 +151,9 @@ def save_checkpoint(
     state = checkpointable.state_dict()
     flat = _flatten_state(state)
     path = os.path.join(checkpoint_dir, _format_name(kind_name, steps))
-    tmp = path + ".tmp"
+    # pid-unique tmp name: concurrent writers (multi-host fitted-transform
+    # saves on a shared filesystem) never interleave into the same tmp file
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
     os.replace(tmp, path)

@@ -233,3 +233,19 @@ def _read_varint(data: bytes, i: int):
         if not b & 0x80:
             return result, i
         shift += 7
+
+
+class NullWriter:
+    """No-op SummaryWriter for non-coordinator processes on pods (the
+    reference writes TB on rank 0 only, training.py:77-78)."""
+
+    path = None
+
+    def add_scalar(self, tag, value, step):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
