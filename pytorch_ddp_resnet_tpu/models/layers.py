@@ -255,7 +255,17 @@ class AvgPool(Layer):
 
 @dataclass(frozen=True)
 class Dropout(Layer):
-    """Inverted dropout, active only in train mode (torch nn.Dropout)."""
+    """Inverted dropout, active only in train mode (torch nn.Dropout).
+
+    The keep decision uses 8 random bits per element instead of 32
+    (``bits < round(keep*256)``), quartering the RNG bytes the TPU's
+    rng-bit-generator must produce — measured ~4% of step time on WRN-28-10
+    (see CLAUDE.md perf notes). The keep probability is quantized to 1/256
+    (e.g. 0.7 -> 179/256 = 0.69922) and the inverse scaling uses the
+    *quantized* value, so E[dropout(x)] == x holds exactly. The reference's
+    torch dropout draws a full float per element; its masks are not
+    bit-reproducible anyway, so only the distribution is parity-relevant.
+    """
 
     rate: float
 
@@ -265,9 +275,15 @@ class Dropout(Layer):
     def apply(self, params, state, x, *, train, rng=None):
         if not train or self.rate == 0.0:
             return x, state
-        keep = 1.0 - self.rate
-        mask = jax.random.bernoulli(rng, keep, x.shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x)), state
+        thresh = int(round((1.0 - self.rate) * 256.0))
+        if thresh <= 0:
+            return jnp.zeros_like(x), state
+        if thresh >= 256:
+            return x, state
+        keep_q = thresh / 256.0
+        bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+        mask = bits < jnp.uint8(thresh)
+        return jnp.where(mask, x / keep_q, jnp.zeros_like(x)), state
 
 
 @dataclass(frozen=True)

@@ -139,3 +139,27 @@ def test_batchnorm_state_updates_in_train_only():
     _, state_tr = block.apply(params, state, x, train=True, rng=jax.random.key(0))
     assert int(state_tr["norm1"]["count"]) == 1
     assert not np.allclose(np.asarray(state_tr["norm1"]["mean"]), 0.0)
+
+
+def test_dropout_quantized_keep_is_unbiased():
+    """uint8-bits dropout: mean preserved exactly under the quantized keep
+    probability, and the empirical keep rate matches round(keep*256)/256."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_ddp_resnet_tpu.models.layers import Dropout
+
+    d = Dropout(rate=0.3)
+    x = jnp.ones((64, 16, 16, 32), jnp.float32)
+    y, _ = d.apply({}, {}, x, train=True, rng=jax.random.key(0))
+    y = np.asarray(y)
+    keep_q = round(0.7 * 256) / 256
+    kept = (y > 0).mean()
+    assert abs(kept - keep_q) < 0.01, (kept, keep_q)
+    # inverted scaling uses the quantized keep -> exact unbiasedness
+    np.testing.assert_allclose(y[y > 0], 1.0 / keep_q, rtol=1e-6)
+    np.testing.assert_allclose(y.mean(), 1.0, atol=0.01)
+    # eval mode: identity
+    y2, _ = d.apply({}, {}, x, train=False, rng=None)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(x))
