@@ -32,6 +32,11 @@ REFERENCE_BASELINE_IMG_S = 1000.0
 BATCH = 256
 WARMUP = 5
 MEASURE = 30
+# steps per device dispatch (the training loop's `steps_per_dispatch`):
+# amortizes host->device dispatch latency, ~4ms/step on this tunneled TPU
+# runtime. The scanned step computes the same per-step math as the
+# unchunked training loop.
+CHUNK = 8
 
 
 def main():
@@ -90,45 +95,48 @@ def main():
 
     base_step = make_train_step(model, optimizer, 1, augment_fn=augment)
 
-    def resident_step(ts, dx, dy, idx, lr, rng):
-        x = idx if pass_indices else dx[idx]
-        return base_step(ts, x, dy[idx], lr, rng)
+    def resident_step(ts, idx, lr, rng):
+        x = idx if pass_indices else data_x[idx]
+        return base_step(ts, x, data_y[idx], lr, rng)
 
-    step = jax.jit(resident_step, donate_argnums=0)
+    from pytorch_ddp_resnet_tpu.algos.steps import make_chunked_train_step
 
-    idx_sharding = NamedSharding(mesh, P(None, "data"))
+    root_rng = jax.random.key(0, impl="rbg")  # hardware PRNG (see train.py)
+    chunk = jax.jit(make_chunked_train_step(resident_step, root_rng),
+                    donate_argnums=0)
+
+    idx_sharding = NamedSharding(mesh, P(None, None, "data"))
     rng = np.random.default_rng(0)
 
-    # Pre-placed index batches: in production the host epoch shuffle is
+    # Pre-placed index chunks: in production the host epoch shuffle is
     # computed ahead and the tiny H2D copy overlaps the running step; don't
     # time the copy here.
-    _batches = [
+    _chunks = [
         jax.device_put(
-            rng.integers(0, len(ds), size=(1, BATCH)).astype(np.int32),
+            rng.integers(0, len(ds), size=(CHUNK, 1, BATCH)).astype(np.int32),
             idx_sharding)
-        for _ in range(WARMUP + MEASURE)
+        for _ in range((WARMUP + MEASURE) // CHUNK + 2)
     ]
+    lrs = jnp.full((CHUNK,), 0.1, jnp.float32)
 
-    def batch_idx(i):
-        return _batches[i % len(_batches)]
+    def run(i):
+        return chunk(ts, (_chunks[i % len(_chunks)],), lrs,
+                     jnp.int32(i * CHUNK))
 
-    def key(i):
-        return jax.random.key(i, impl="rbg")  # hardware PRNG (see train.py)
+    for i in range(max(WARMUP // CHUNK, 2)):
+        ts, metrics = run(i)
+    float(metrics["loss"][-1])  # force full execution (block_until_ready
+    # can return early on experimental remote backends)
 
-    for i in range(WARMUP):
-        ts, metrics = step(ts, data_x, data_y, batch_idx(i),
-                           jnp.float32(0.1), key(i))
-    float(metrics["loss"])  # force full execution (block_until_ready can
-    # return early on experimental remote backends)
-
+    n_dispatch = -(-MEASURE // CHUNK)
     t0 = time.perf_counter()
-    for i in range(MEASURE):
-        ts, metrics = step(ts, data_x, data_y, batch_idx(i),
-                           jnp.float32(0.1), key(1000 + i))
-    float(metrics["loss"])
+    for i in range(n_dispatch):
+        ts, metrics = run(1000 + i)
+    float(metrics["loss"][-1])
     elapsed = time.perf_counter() - t0
+    MEASURED = n_dispatch * CHUNK
 
-    img_per_sec = MEASURE * BATCH / elapsed
+    img_per_sec = MEASURED * BATCH / elapsed
     img_per_sec_chip = img_per_sec / n_chips
     print(json.dumps({
         "metric": "cifar10_wrn28_10_train_images_per_sec_per_chip",

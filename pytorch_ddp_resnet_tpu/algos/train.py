@@ -39,6 +39,7 @@ import numpy as np
 from pytorch_ddp_resnet_tpu.algos.evaluate import evaluation_loop
 from pytorch_ddp_resnet_tpu.algos.steps import (
     init_train_state,
+    make_chunked_train_step,
     make_eval_step,
     make_train_step,
 )
@@ -275,10 +276,9 @@ def training_loop(
     base_step = make_train_step(
         model, optimizer, num_microbatches, augment_fn=ls["augment_fn"],
         grad_reduction=config.get("microbatch_grad_reduction", "sum"))
-    step_fn = jax.jit(
-        pipeline.bind_train_step(
-            base_step, pass_indices=ls.get("augment_pass_indices", False)),
-        donate_argnums=0)
+    bound_step = pipeline.bind_train_step(
+        base_step, pass_indices=ls.get("augment_pass_indices", False))
+    step_fn = jax.jit(bound_step, donate_argnums=0)
     eval_step_fn = jax.jit(
         pipeline.bind_eval_step(make_eval_step(model, ls["preprocess_fn"])))
 
@@ -299,29 +299,54 @@ def training_loop(
          and scheduler_step_unit == "batch")
         or (strategy_needs_loss and strategy.unit == "batch"))
 
-    pending = None  # (step_id, device_metrics) logged with one-step lag
+    # steps_per_dispatch (off by default, = reference cadence): scan K steps
+    # inside one jit dispatch, amortizing per-dispatch host latency. Same
+    # training trajectory (identical per-step rng/lr derivations, modulo
+    # XLA's compilation-dependent float reassociation); the
+    # observable divergences, documented here, are (a) batch-unit checkpoint
+    # triggers that fire mid-chunk save the chunk-end state at the chunk-end
+    # step (align `frequency` to a multiple of K for exact parity), and
+    # (b) profile_steps forces K=1 for per-step trace boundaries.
+    steps_per_dispatch = int(config.get("steps_per_dispatch", 1))
+    if steps_per_dispatch > 1 and (sync_batch_loss or profile_steps):
+        if verbose:
+            print("steps_per_dispatch: disabled (a batch-unit loss consumer "
+                  "or profile window needs per-step dispatches).")
+        steps_per_dispatch = 1
+    chunk_fn = None
+    if steps_per_dispatch > 1:
+        chunk_fn = jax.jit(make_chunked_train_step(bound_step, root_rng),
+                           donate_argnums=0)
+
+    pending = None  # (step_id, device_metrics, n_steps), one-dispatch lag
     t_start, steps_at_start = time.time(), global_step
     last_drain_t = [time.time()]
     last_drain_step = [global_step]
 
     def drain(p):
-        step_id, m = p
-        host = {k: float(v) for k, v in m.items()}
-        if verbose and (step_id % log_every == 0):
-            print(f"global step: {step_id}... loss: {host['loss']}")
-        for name, v in host.items():
-            writer.add_scalar(f"train/{name}", v, step_id)
+        step0, m, n = p
+        stacked = {k: np.asarray(v) for k, v in m.items()}
+        host = None
+        for i in range(n):
+            step_id = step0 + i
+            host = {k: float(v[i]) if n > 1 else float(v)
+                    for k, v in stacked.items()}
+            if verbose and (step_id % log_every == 0):
+                print(f"global step: {step_id}... loss: {host['loss']}")
+            for name, v in host.items():
+                writer.add_scalar(f"train/{name}", v, step_id)
         # throughput as a first-class logged metric (SURVEY.md §5.1; the
         # reference logs nothing beyond loss/err)
+        last_step = step0 + n - 1
         now = time.time()
-        dsteps = step_id + 1 - last_drain_step[0]
+        dsteps = last_step + 1 - last_drain_step[0]
         if now > last_drain_t[0] and dsteps > 0:
             writer.add_scalar(
                 "train/images_per_sec",
                 dsteps * config.get("batch_size") / (now - last_drain_t[0]),
-                step_id)
+                last_step)
         last_drain_t[0] = now
-        last_drain_step[0] = step_id + 1
+        last_drain_step[0] = last_step + 1
         return host
 
     def done():
@@ -329,24 +354,45 @@ def training_loop(
 
     while not done():
         epoch = strategy.epoch_step
-        for feed in pipeline.train_feed(epoch):
+        for n_steps, feed in pipeline.train_feed(epoch, steps_per_dispatch):
+            n_steps = min(n_steps, max_steps - global_step)
+            if n_steps <= 0:
+                break
             if profile_steps and global_step == int(profile_steps[0]):
                 jax.profiler.start_trace(log_dir)
-            lr = scheduler.get_lr() if scheduler else base_lr_of(
-                config.get("optimizer_args"))
-            rng = jax.random.fold_in(root_rng, global_step)
-            train_state, metrics = step_fn(
-                train_state, *feed, jnp.float32(lr), rng)
+            # per-step lrs for this dispatch; non-loss batch schedulers
+            # advance here (plateau batch schedulers imply sync_batch_loss
+            # and K=1, and step after the loss arrives below)
+            lrs = []
+            for _ in range(n_steps):
+                lrs.append(scheduler.get_lr() if scheduler else base_lr_of(
+                    config.get("optimizer_args")))
+                if (scheduler and scheduler_step_unit == "batch"
+                        and not scheduler.requires_loss):
+                    scheduler.step()
+            if chunk_fn is not None:
+                # one compiled function serves full chunks and the ragged
+                # tail (a second trace at the tail length, no third)
+                feed = tuple(f[:n_steps] if n_steps < f.shape[0] else f
+                             for f in feed)
+                train_state, metrics = chunk_fn(
+                    train_state, feed, jnp.asarray(lrs, jnp.float32),
+                    jnp.int32(global_step))
+            else:
+                rng = jax.random.fold_in(root_rng, global_step)
+                train_state, metrics = step_fn(
+                    train_state, *feed, jnp.float32(lrs[0]), rng)
+            cur = (global_step, metrics, n_steps)
             if profile_steps and global_step == int(profile_steps[1]):
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
 
-            cur = (global_step, metrics)
             if sync_batch_loss:
                 host = drain(cur)
                 loss_now = host["loss"]
-                if scheduler and scheduler_step_unit == "batch":
-                    scheduler.step(loss_now if scheduler.requires_loss else None)
+                if (scheduler and scheduler_step_unit == "batch"
+                        and scheduler.requires_loss):
+                    scheduler.step(loss_now)
                 if strategy.observe(unit="batch", loss=loss_now):
                     _save_all(checkpoint_dir, strategy, train_state,
                               scheduler, steps=global_step + 1)
@@ -354,16 +400,17 @@ def training_loop(
                 if pending is not None:
                     drain(pending)
                 pending = cur
-                if scheduler and scheduler_step_unit == "batch":
-                    scheduler.step()
                 # In the async branch the strategy is either frequency-based
                 # or an epoch-unit performance strategy: a batch observation
-                # can't fire, so no loss fetch is needed.
-                if strategy.observe(unit="batch", loss=None):
+                # can't fire with a loss, so no loss fetch is needed.
+                fired = False
+                for _ in range(n_steps):
+                    fired = strategy.observe(unit="batch", loss=None) or fired
+                if fired:
                     _save_all(checkpoint_dir, strategy, train_state,
-                              scheduler, steps=global_step + 1)
+                              scheduler, steps=global_step + n_steps)
 
-            global_step += 1
+            global_step += n_steps
             if done():
                 break
 

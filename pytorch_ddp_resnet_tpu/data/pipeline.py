@@ -275,9 +275,21 @@ class ResidentPipeline:
 
         return resident_eval
 
-    def train_feed(self, epoch: int):
-        for idx in self.train_batches(epoch):
-            yield (idx,)
+    def train_feed(self, epoch: int, chunk: int = 1):
+        """Yields ``(n_steps, feed_tuple)``. With ``chunk > 1`` feeds carry a
+        leading chunk dim of up to ``chunk`` steps (one device dispatch each,
+        see steps.make_chunked_train_step); the final chunk may be shorter."""
+        if chunk <= 1:
+            for idx in self.train_batches(epoch):
+                yield 1, (idx,)
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, None, "data"))
+        all_idx = self.sampler_train.epoch_indices(epoch)  # (B, M, mb)
+        for start in range(0, len(all_idx), chunk):
+            blk = all_idx[start:start + chunk]
+            yield len(blk), (put_global(blk, sharding),)
 
     def eval_feed(self):
         yield from self.eval_batches()

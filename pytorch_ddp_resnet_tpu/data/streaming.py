@@ -325,8 +325,11 @@ class StreamingPipeline:
     def bind_eval_step(self, base_eval):
         return base_eval
 
-    def train_feed(self, epoch: int):
-        yield from self.train_batches(epoch)
+    def train_feed(self, epoch: int, chunk: int = 1):
+        """Yields (1, (x, y)) — the streaming path is decode-bound, not
+        dispatch-bound, so steps_per_dispatch chunking is a no-op here."""
+        for batch in self.train_batches(epoch):
+            yield 1, batch
 
     def eval_feed(self):
         yield from self.eval_batches()

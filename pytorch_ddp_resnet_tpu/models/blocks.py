@@ -48,8 +48,19 @@ from pytorch_ddp_resnet_tpu.models.layers import (
 
 def _subsample(x, stride: int):
     """AvgPool2d(kernel=1, stride=s): every s-th pixel, no averaging
-    (identity when stride == 1)."""
-    return x[:, ::stride, ::stride, :] if stride != 1 else x
+    (identity when stride == 1).
+
+    Written as reshape+slice rather than a strided slice: the strided
+    slice's reverse-mode transpose is a scatter-add (measured ~2.5ms/step on
+    WRN-28-10 b256 across the two stage transitions), while the sliced
+    reshape transposes to a cheap zero-pad."""
+    if stride == 1:
+        return x
+    n, h, w, c = x.shape
+    if h % stride or w % stride:  # odd extents: keep ceil semantics
+        return x[:, ::stride, ::stride, :]
+    x = x.reshape(n, h // stride, stride, w // stride, stride, c)
+    return x[:, :, 0, :, 0, :]
 
 
 def _zero_pad_channels(x, extra: int):

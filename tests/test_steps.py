@@ -208,3 +208,52 @@ def test_train_step_differentiates_through_maxpool():
     y = jnp.zeros((1, 4), jnp.int32)
     ts, m = step(ts, x, y, jnp.float32(0.1), jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_steps_per_dispatch_is_equivalent():
+    """A training_loop run with steps_per_dispatch=4 must match the unchunked
+    run: identical per-step rng/lr derivations inside the scanned dispatch.
+    Equality is near-bitwise — XLA may reassociate fusions differently inside
+    a scan body, so exact bit equality is not guaranteed."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
+    from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh
+
+    base = {
+        "dataset_cls_name": "Synthetic",
+        "data_aug_train": {"ToTensorTransform": {},
+                           "FlipTransform": {"p": 0.5}},
+        "data_aug_test": {"ToTensorTransform": {}},
+        "architecture_spec": "c3,8,3,1,1 n a r1 ap32,1,0 fc8,10",
+        "preact": False, "use_proj": False, "dropout_prob": 0.1,
+        "compute_dtype": "float32",
+        "max_steps": 10, "batch_size": 16, "num_microbatches": 1,
+        "optimizer_cls_name": "SGD",
+        "optimizer_args": {"lr": 0.1, "momentum": 0.9},
+        "scheduler_cls_name": "MultiStepLR",
+        "scheduler_step_unit": "batch",
+        "scheduler_args": {"milestones": [6], "gamma": 0.1},
+        "checkpoint_strategy_cls_name": "FrequencyCheckpointStrategy",
+        "checkpoint_strategy_args": {"unit": "epoch", "frequency": 1},
+    }
+
+    def run(chunk):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = dict(base)
+            cfg["checkpoint_dir"] = os.path.join(tmp, "ck")
+            cfg["log_dir"] = os.path.join(tmp, "tb")
+            cfg["data_dir"] = tmp
+            cfg["steps_per_dispatch"] = chunk
+            ls = setup(cfg, mesh=make_mesh(num_devices=2), verbose=False)
+            out = training_loop(cfg, ls, verbose=False)
+            assert out["global_step"] == 10
+            return jax.device_get(ls["train_state"]["params"])
+
+    p1, p4 = run(1), run(4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6),
+        p1, p4)
