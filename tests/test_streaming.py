@@ -116,7 +116,8 @@ def test_build_streaming_data_and_train(tmp_path):
     # train batches: (M, mb, H, W, C) uint8 on device
     batches = list(pipeline.train_feed(epoch=0))
     assert len(batches) == 1
-    x, y = batches[0]
+    n_steps, (x, y) = batches[0]
+    assert n_steps == 1
     assert x.shape == (2, 8, 16, 16, 3) and x.dtype == jnp.uint8
     assert y.shape == (2, 8)
 
