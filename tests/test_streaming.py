@@ -139,7 +139,7 @@ def test_build_streaming_data_and_train(tmp_path):
     step = jax.jit(pipeline.bind_train_step(base), donate_argnums=0)
     losses = []
     for ep in range(8):
-        for x, y in pipeline.train_feed(ep):
+        for _, (x, y) in pipeline.train_feed(ep):
             ts, m = step(ts, x, y, jnp.float32(0.1), jax.random.key(ep))
             losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
