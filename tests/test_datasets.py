@@ -174,3 +174,24 @@ def test_synthetic_determinism():
     np.testing.assert_array_equal(a.x, b.x)
     c = load_synthetic(None, train=False)
     assert not np.array_equal(a.x[: len(c.x)], c.x)
+
+
+def test_synthetic_spectral_properties():
+    from pytorch_ddp_resnet_tpu.data.datasets import load_synthetic_spectral
+
+    tr = load_synthetic_spectral(None, True, n_train=2000, n_test=64)
+    te = load_synthetic_spectral(None, False, n_train=2000, n_test=64)
+    assert tr.x.shape == (2000, 32, 32, 3) and tr.num_classes == 10
+    # deterministic and train/test disjoint draws
+    tr2 = load_synthetic_spectral(None, True, n_train=2000, n_test=64)
+    np.testing.assert_array_equal(tr.x, tr2.x)
+    assert not np.array_equal(tr.x[:64], te.x)
+    # per-sample contrast normalization: no energy shortcut between classes
+    stds = tr.x.astype(np.float32).std(axis=(1, 2, 3))
+    assert stds.std() / stds.mean() < 0.1
+    # zero-mean textures: a linear probe on raw class-mean templates is
+    # near chance (labels live in spectral shape, not pixel means)
+    means = np.stack([tr.x[tr.y == k].astype(np.float32).mean(0)
+                      for k in range(10)])
+    spread = means.std(axis=0).mean() / tr.x.astype(np.float32).std()
+    assert spread < 0.1, spread  # ~200/class: sampling noise alone is ~0.07
