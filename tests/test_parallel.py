@@ -128,3 +128,35 @@ def test_uneven_batch_rejected_cleanly():
         np.testing.assert_allclose(float(s), 30 * 4)
     except ValueError:
         pass  # an explicit error is also acceptable
+
+
+def test_put_global_matches_device_put_single_process():
+    import numpy as np
+
+    from pytorch_ddp_resnet_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, put_global, put_replicated,
+        replicated_sharding)
+
+    mesh = make_mesh(num_devices=4)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    a = put_global(x, batch_sharding(mesh))
+    assert a.sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(a), x)
+    tree = put_replicated({"w": x}, mesh)
+    assert tree["w"].sharding == replicated_sharding(mesh)
+
+
+def test_process_local_extent_single_process_covers_all():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_ddp_resnet_tpu.parallel.mesh import (
+        make_mesh, process_local_extent)
+
+    mesh = make_mesh(num_devices=4)
+    lo, hi = process_local_extent(
+        NamedSharding(mesh, P("data")), (16, 3), axis=0)
+    assert (lo, hi) == (0, 16)
+    # axis 1 sharded on the microbatch layout
+    lo, hi = process_local_extent(
+        NamedSharding(mesh, P(None, "data")), (2, 8, 5), axis=1)
+    assert (lo, hi) == (0, 8)
