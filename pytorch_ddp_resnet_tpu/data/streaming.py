@@ -45,7 +45,26 @@ from pytorch_ddp_resnet_tpu.parallel.mesh import (
 )
 
 
+def _native():
+    """The C++ fast path (JPEG decode + bilinear resize), or None.
+
+    Bit-identical to the PIL path (tests/test_native.py), so which path runs
+    never affects fitted statistics, crops, or eval numbers.
+    """
+    from pytorch_ddp_resnet_tpu import native
+
+    return native.load()
+
+
 def _decode_image(path: str) -> np.ndarray:
+    fi = _native()
+    if fi is not None and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                pix, h, w = fi.decode_jpeg(f.read())
+            return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+        except ValueError:
+            pass  # exotic color space (e.g. CMYK) -> PIL
     from PIL import Image
 
     with Image.open(path) as im:
@@ -53,13 +72,19 @@ def _decode_image(path: str) -> np.ndarray:
 
 
 def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
-    from PIL import Image
-
     h, w = img.shape[:2]
     if h <= w:
         nh, nw = target, max(1, int(round(target / h * w)))
     else:
         nh, nw = max(1, int(round(target / w * h))), target
+    fi = _native()
+    if fi is not None:
+        return np.frombuffer(
+            fi.resize_bilinear(np.ascontiguousarray(img).tobytes(),
+                               h, w, nh, nw),
+            np.uint8).reshape(nh, nw, 3)
+    from PIL import Image
+
     return np.asarray(
         Image.fromarray(img).resize((nw, nh), Image.BILINEAR), dtype=np.uint8)
 
@@ -123,11 +148,26 @@ class HostSampleProcessor:
         self.random_crop = random_crop
         self.seed = seed
 
-    def __call__(self, path: str, epoch: int, index: int) -> np.ndarray:
+    def _decode_and_scale(self, path: str) -> np.ndarray:
+        fi = _native()
+        if fi is not None and path.lower().endswith((".jpg", ".jpeg")):
+            # fused native call: decode + every short-side resize under one
+            # GIL release, so decode workers scale across cores
+            try:
+                with open(path, "rb") as f:
+                    pix, h, w = fi.decode_resize_jpeg(
+                        f.read(), tuple(self.scale_targets))
+                return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+            except ValueError:
+                pass  # exotic color space -> PIL fallback below
         img = _decode_image(path)
-        rng = np.random.default_rng([self.seed, int(epoch), int(index)])
         for target in self.scale_targets:
             img = _resize_short_side(img, target)
+        return img
+
+    def __call__(self, path: str, epoch: int, index: int) -> np.ndarray:
+        img = self._decode_and_scale(path)
+        rng = np.random.default_rng([self.seed, int(epoch), int(index)])
         if self.crop_size is not None:
             # guard: upscale if any side is still smaller than the crop
             if min(img.shape[:2]) < self.crop_size:

@@ -1,0 +1,113 @@
+"""Native _fastimage extension: bit-exact parity with the PIL path.
+
+The C++ data-loader component (native/fastimage.cpp) must be numerically
+invisible: JPEG decode identical to PIL's (both sit on libjpeg with the
+default ISLOW DCT), and the bilinear resampler reproduces Pillow's
+Resample.c fixed-point arithmetic exactly. If these hold, fitted dataset
+statistics, crops, and eval numbers never depend on which path ran.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pytorch_ddp_resnet_tpu import native
+
+fi = native.load()
+pytestmark = pytest.mark.skipif(
+    fi is None, reason="native toolchain/libjpeg unavailable")
+
+
+def _jpeg_bytes(arr, mode=None, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def test_decode_matches_pil_exactly():
+    rng = np.random.default_rng(0)
+    for q in (50, 75, 95):
+        for shape in ((37, 53), (128, 97)):
+            arr = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+            data = _jpeg_bytes(arr, quality=q)
+            pix, h, w = fi.decode_jpeg(data)
+            nat = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            assert nat.shape == pil.shape
+            np.testing.assert_array_equal(nat, pil)
+
+
+def test_decode_grayscale_jpeg():
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    data = _jpeg_bytes(g, "L")
+    pix, h, w = fi.decode_jpeg(data)
+    nat = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(nat, pil)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        fi.decode_jpeg(b"not a jpeg at all")
+
+
+def test_resize_matches_pillow_bitexactly():
+    rng = np.random.default_rng(2)
+    cases = [((100, 150), (256, 384)),   # upscale
+             ((500, 333), (256, 170)),   # downscale
+             ((77, 31), (32, 13)),       # heavy downscale
+             ((9, 9), (300, 300)),       # heavy upscale
+             ((64, 64), (64, 48))]       # one axis unchanged
+    for (h, w), (nh, nw) in cases:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = np.frombuffer(
+            fi.resize_bilinear(arr.tobytes(), h, w, nh, nw),
+            np.uint8).reshape(nh, nw, 3)
+        pil = np.asarray(Image.fromarray(arr).resize((nw, nh), Image.BILINEAR))
+        np.testing.assert_array_equal(out, pil)
+
+
+def test_fused_decode_resize_matches_python_path(tmp_path, monkeypatch):
+    """HostSampleProcessor output is identical with and without the native
+    fast path (the whole point: the C++ component is a pure accelerant)."""
+    from pytorch_ddp_resnet_tpu.data import streaming
+    from pytorch_ddp_resnet_tpu.data.streaming import HostSampleProcessor
+    from pytorch_ddp_resnet_tpu.data.transforms import RandomScaleTransform
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, shape in enumerate([(300, 220), (180, 260), (97, 401)]):
+        arr = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=92)
+        paths.append(str(p))
+
+    host = [RandomScaleTransform((None, None, 3), target_short_side=144)]
+    proc = HostSampleProcessor(host, crop_size=128, random_crop=True, seed=7)
+
+    native_out = [proc(p, epoch=2, index=i) for i, p in enumerate(paths)]
+    monkeypatch.setattr(streaming, "_native", lambda: None)
+    pil_out = [proc(p, epoch=2, index=i) for i, p in enumerate(paths)]
+    for a, b in zip(native_out, pil_out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decode_image_falls_back_for_non_jpeg_content(tmp_path):
+    """A .jpg path holding non-JPEG bytes decodes via the PIL fallback."""
+    from pytorch_ddp_resnet_tpu.data.streaming import _decode_image
+
+    arr = np.random.default_rng(4).integers(
+        0, 256, size=(20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "actually_a_png.jpg"
+    Image.fromarray(arr).save(p, "PNG")  # lossless -> exact roundtrip
+    np.testing.assert_array_equal(_decode_image(str(p)), arr)
+
+
+def test_build_is_idempotent_and_cached():
+    so = native.build()
+    assert os.path.exists(so)
+    assert native.build() == so  # mtime-cached, no rebuild
