@@ -92,8 +92,14 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     data_dir = config.get("data_dir")
     dataset_cls_name = config.get("dataset_cls_name")
 
-    dataset_train = get_dataset(dataset_cls_name, data_dir, train=True)
-    dataset_test = get_dataset(dataset_cls_name, data_dir, train=False)
+    # dataset_args: optional loader kwargs (e.g. SyntheticSpectral's
+    # num_classes/hardness knobs), same class-name+kwargs convention as
+    # every other factory in the YAML surface.
+    dataset_args = config.get("dataset_args") or {}
+    dataset_train = get_dataset(dataset_cls_name, data_dir, train=True,
+                                **dataset_args)
+    dataset_test = get_dataset(dataset_cls_name, data_dir, train=False,
+                               **dataset_args)
 
     batch_size = config.get("batch_size")
     num_microbatches = config.get("num_microbatches", 1)

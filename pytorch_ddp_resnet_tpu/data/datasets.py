@@ -314,6 +314,7 @@ def load_synthetic_spectral(
     shape: Tuple[int, int, int] = (32, 32, 3),
     num_classes: int = 10,
     seed: int = 0,
+    class_sep: float = 1.0,
 ) -> ArrayDataset:
     """A *hard, generalizable* offline stand-in for CIFAR-10: class-
     conditional Gaussian random fields (texture classification).
@@ -331,15 +332,22 @@ def load_synthetic_spectral(
     - not linearly separable in pixel space (zero-mean textures);
     - i.i.d. disjoint train/test draws, so test error measures real
       generalization through the full fused stack.
+
+    ``class_sep`` is the difficulty knob (YAML: ``dataset_args``): class
+    masks are ``common + class_sep * (own - common)`` with a shared common
+    mask, so small values leave classes separated by only a fraction of
+    their spectral signature and the task keeps a nonzero error floor
+    (class_sep=1 reproduces the original fully-separated masks bit-for-bit).
     """
     h, w, c = shape
     n = n_train if train else n_test
+    sep_key = "" if class_sep == 1.0 else f"_sep{class_sep:g}"
     cache = None
     if data_dir:
         cache = os.path.join(
             _ensure_dir(data_dir),
             f"synthetic_spectral_{'train' if train else 'test'}_{n}_"
-            f"{h}x{w}x{c}_{num_classes}c_seed{seed}.npz")
+            f"{h}x{w}x{c}_{num_classes}c_seed{seed}{sep_key}.npz")
         if os.path.exists(cache):
             with np.load(cache) as d:
                 return ArrayDataset(d["x"], d["y"], num_classes=num_classes,
@@ -349,6 +357,10 @@ def load_synthetic_spectral(
     # classes differ in many bins with heavy tails
     masks = mask_rng.gamma(
         2.0, 1.0, size=(num_classes, h, w // 2 + 1)).astype(np.float32)
+    if class_sep != 1.0:
+        common = mask_rng.gamma(
+            2.0, 1.0, size=(1, h, w // 2 + 1)).astype(np.float32)
+        masks = common + np.float32(class_sep) * (masks - common)
     masks[:, 0, 0] = 0.0  # no DC component: keeps textures zero-mean
 
     srng = np.random.default_rng([seed, 0 if train else 1, 11])

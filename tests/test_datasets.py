@@ -195,3 +195,37 @@ def test_synthetic_spectral_properties():
                       for k in range(10)])
     spread = means.std(axis=0).mean() / tr.x.astype(np.float32).std()
     assert spread < 0.1, spread  # ~200/class: sampling noise alone is ~0.07
+
+
+def test_synthetic_spectral_class_sep_knob():
+    from pytorch_ddp_resnet_tpu.data.datasets import load_synthetic_spectral
+
+    base = load_synthetic_spectral(None, True, n_train=512, n_test=64)
+    same = load_synthetic_spectral(None, True, n_train=512, n_test=64,
+                                   class_sep=1.0)
+    # class_sep=1.0 is the identity: bit-for-bit the original dataset
+    np.testing.assert_array_equal(base.x, same.x)
+
+    hard = load_synthetic_spectral(None, True, n_train=512, n_test=64,
+                                   class_sep=0.2)
+    assert hard.x.shape == base.x.shape
+    assert not np.array_equal(hard.x, base.x)
+    # lower separation => class-conditional spectra are closer together:
+    # measure mean pairwise distance between class-mean power spectra
+    def class_spectral_spread(ds):
+        xf = np.abs(np.fft.rfft2(
+            ds.x.astype(np.float32).mean(-1), axes=(1, 2)))
+        cm = np.stack([xf[ds.y == k].mean(0) for k in range(10)])
+        return np.linalg.norm(cm[:, None] - cm[None, :], axis=(2, 3)).mean()
+
+    assert class_spectral_spread(hard) < 0.5 * class_spectral_spread(base)
+
+
+def test_dataset_args_flow_from_config(tmp_path):
+    """The factory accepts the YAML dataset_args kwargs (algos/train.py
+    setup() splats config['dataset_args'] into this call)."""
+    from pytorch_ddp_resnet_tpu.data.datasets import get_dataset
+
+    ds = get_dataset("SyntheticSpectral", str(tmp_path), train=True,
+                     n_train=256, n_test=32, num_classes=4, class_sep=0.5)
+    assert ds.num_classes == 4 and len(ds) == 256
