@@ -111,3 +111,32 @@ def test_build_is_idempotent_and_cached():
     so = native.build()
     assert os.path.exists(so)
     assert native.build() == so  # mtime-cached, no rebuild
+
+
+def test_threaded_decode_stress(tmp_path):
+    """The GIL-released native calls are thread-safe: 8 workers decoding
+    the same and different files concurrently produce serial-identical
+    results (this is exactly StreamingPipeline's ThreadPoolExecutor use)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pytorch_ddp_resnet_tpu.data.streaming import HostSampleProcessor
+    from pytorch_ddp_resnet_tpu.data.transforms import RandomScaleTransform
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(12):
+        h, w = int(rng.integers(80, 300)), int(rng.integers(80, 300))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"s{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=90)
+        paths.append(str(p))
+
+    host = [RandomScaleTransform((None, None, 3), target_short_side=72)]
+    proc = HostSampleProcessor(host, crop_size=64, random_crop=True, seed=3)
+    serial = [proc(p, epoch=1, index=i) for i, p in enumerate(paths * 4)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        threaded = list(pool.map(
+            lambda t: proc(t[1], epoch=1, index=t[0]),
+            enumerate(paths * 4)))
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
