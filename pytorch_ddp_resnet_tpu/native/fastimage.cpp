@@ -27,6 +27,7 @@
 
 #include <csetjmp>
 #include <cmath>
+#include <exception>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -56,6 +57,10 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 
 void jpeg_err_silent(j_common_ptr, int) {}
 
+// Same default as Pillow's MAX_IMAGE_PIXELS: the native path must not
+// bypass the decompression-bomb guard the PIL path provides.
+constexpr long long MAX_PIXELS = 89478485;
+
 // Decodes JPEG bytes to tightly-packed RGB888. Returns false (with *msg
 // set) on any libjpeg error, including unsupported color spaces — the
 // Python caller falls back to PIL. Runs without the GIL.
@@ -84,6 +89,13 @@ bool decode_jpeg_impl(const unsigned char* data, size_t len,
     if (cinfo.output_components != 3) {
         snprintf(msg, JMSG_LENGTH_MAX, "unsupported components=%d",
                  cinfo.output_components);
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    if (static_cast<long long>(h) * w > MAX_PIXELS) {
+        snprintf(msg, JMSG_LENGTH_MAX,
+                 "image %dx%d exceeds the decompression-bomb pixel cap",
+                 h, w);
         jpeg_destroy_decompress(&cinfo);
         return false;
     }
@@ -272,9 +284,17 @@ PyObject* py_decode_jpeg(PyObject*, PyObject* args) {
     int h = 0, w = 0;
     char msg[JMSG_LENGTH_MAX] = {0};
     bool ok;
+    // try/catch inside the no-GIL region: a C++ exception (e.g. bad_alloc)
+    // must not unwind past Py_END_ALLOW_THREADS or the GIL stays released.
     Py_BEGIN_ALLOW_THREADS
-    ok = decode_jpeg_impl(static_cast<const unsigned char*>(buf.buf),
-                          static_cast<size_t>(buf.len), &out, &h, &w, msg);
+    try {
+        ok = decode_jpeg_impl(static_cast<const unsigned char*>(buf.buf),
+                              static_cast<size_t>(buf.len), &out, &h, &w,
+                              msg);
+    } catch (const std::exception& e) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", e.what());
+        ok = false;
+    }
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&buf);
     if (!ok) {
@@ -300,11 +320,22 @@ PyObject* py_resize_bilinear(PyObject*, PyObject* args) {
         return nullptr;
     }
     std::vector<unsigned char> out;
+    char msg[JMSG_LENGTH_MAX] = {0};
+    bool ok = true;
     Py_BEGIN_ALLOW_THREADS
-    resize_bilinear_impl(static_cast<const unsigned char*>(buf.buf),
-                         h, w, nh, nw, &out);
+    try {
+        resize_bilinear_impl(static_cast<const unsigned char*>(buf.buf),
+                             h, w, nh, nw, &out);
+    } catch (const std::exception& e) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", e.what());
+        ok = false;
+    }
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&buf);
+    if (!ok) {
+        PyErr_Format(PyExc_ValueError, "resize failed: %s", msg);
+        return nullptr;
+    }
     return PyBytes_FromStringAndSize(
         reinterpret_cast<const char*>(out.data()),
         static_cast<Py_ssize_t>(out.size()));
@@ -337,18 +368,24 @@ PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
     char msg[JMSG_LENGTH_MAX] = {0};
     bool ok;
     Py_BEGIN_ALLOW_THREADS
-    ok = decode_jpeg_impl(static_cast<const unsigned char*>(buf.buf),
-                          static_cast<size_t>(buf.len), &img, &h, &w, msg);
-    if (ok) {
-        for (int t : targets) {
-            int nh, nw;
-            short_side_dims(h, w, t, &nh, &nw);
-            if (nh == h && nw == w) continue;
-            resize_bilinear_impl(img.data(), h, w, nh, nw, &next);
-            img.swap(next);
-            h = nh;
-            w = nw;
+    try {
+        ok = decode_jpeg_impl(static_cast<const unsigned char*>(buf.buf),
+                              static_cast<size_t>(buf.len), &img, &h, &w,
+                              msg);
+        if (ok) {
+            for (int t : targets) {
+                int nh, nw;
+                short_side_dims(h, w, t, &nh, &nw);
+                if (nh == h && nw == w) continue;
+                resize_bilinear_impl(img.data(), h, w, nh, nw, &next);
+                img.swap(next);
+                h = nh;
+                w = nw;
+            }
         }
+    } catch (const std::exception& e) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", e.what());
+        ok = false;
     }
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&buf);

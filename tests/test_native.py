@@ -140,3 +140,12 @@ def test_threaded_decode_stress(tmp_path):
             enumerate(paths * 4)))
     for a, b in zip(serial, threaded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_decompression_bomb_cap():
+    """The native path enforces PIL's MAX_IMAGE_PIXELS-equivalent cap
+    instead of silently bypassing it (fastimage.cpp MAX_PIXELS)."""
+    buf = io.BytesIO()
+    Image.new("L", (12000, 8000)).save(buf, "JPEG", quality=10)  # 96M px
+    with pytest.raises(ValueError, match="pixel cap"):
+        fi.decode_jpeg(buf.getvalue())
