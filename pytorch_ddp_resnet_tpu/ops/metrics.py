@@ -25,8 +25,18 @@ import jax.numpy as jnp
 
 
 def cross_entropy_loss(logits, labels, weights: Optional[jnp.ndarray] = None):
-    """Mean softmax cross-entropy; logits (B, C) float, labels (B,) int."""
-    logits = logits.astype(jnp.float32)
+    """Mean softmax cross-entropy; logits (B, C) float, labels (B,) int.
+
+    The optimization barrier pins ONE materialization of the logits for
+    both the logsumexp and the label pick. Without it, XLA:TPU duplicates
+    the producing matmul into two fusions whose different accumulation
+    orders can disagree by ~1e-3 at logit magnitude ~20, making the
+    mathematically-nonnegative nll come out slightly negative for
+    saturated models (observed -6e-3..0 on v5e; 28/64 steps negative on a
+    converged ResNet-20, 0/64 with the barrier). Semantically the barrier
+    is the identity, including under AD; cost is nil (logits are (B, C)).
+    """
+    logits = jax.lax.optimization_barrier(logits.astype(jnp.float32))
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     ll = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
     nll = logz - ll
