@@ -42,6 +42,11 @@ def _port_weights(torch_model, params, state):
     def top(i, kind):
         return f"{int(i):02d}_{kind}"
 
+    # jnp.array (NOT asarray): asarray can zero-copy-alias the numpy views
+    # of torch-owned memory on CPU; torch's in-place optimizer updates then
+    # race JAX's async execution of a dispatched step against the aliased
+    # buffers (observed: nondeterministic first-call losses). jnp.array
+    # copies.
     sd = dict(torch_model.state_dict())
     bn_tops = {m.group(1) for n in sd
                if (m := re.match(r"_architecture\.(\d+)\.running_mean$", n))}
@@ -59,15 +64,15 @@ def _port_weights(torch_model, params, state):
                     "num_batches_tracked": (None, None),
                 }[leaf]
                 if dst is not None:
-                    dst[top(i, "bn")][key] = jnp.asarray(v)
+                    dst[top(i, "bn")][key] = jnp.array(v)
             else:  # Conv2d: OIHW -> HWIO
                 key = {"weight": "w", "bias": "b"}[leaf]
                 dst = params[top(i, "conv")]
-                dst[key] = jnp.asarray(
+                dst[key] = jnp.array(
                     v.transpose(2, 3, 1, 0) if v.ndim == 4 else v)
         elif len(parts) == 3 and parts[1] == "1":  # Flatten+Linear head
             key = "w" if parts[2] == "weight" else "b"
-            params[top(i, "fc")][key] = jnp.asarray(
+            params[top(i, "fc")][key] = jnp.array(
                 v.T if v.ndim == 2 else v)
         else:  # residual block leaf: {i}.{j}._conv1.weight etc.
             j, sub, leaf = parts[1], parts[2].lstrip("_"), parts[3]
@@ -75,16 +80,16 @@ def _port_weights(torch_model, params, state):
             block_s = state[top(i, "stack")][f"block{j}"]
             if sub.startswith("conv") or sub == "proj":
                 assert leaf == "weight"
-                block_p[sub]["w"] = jnp.asarray(v.transpose(2, 3, 1, 0))
+                block_p[sub]["w"] = jnp.array(v.transpose(2, 3, 1, 0))
             else:  # norm{k}
                 if leaf == "weight":
-                    block_p[sub]["scale"] = jnp.asarray(v)
+                    block_p[sub]["scale"] = jnp.array(v)
                 elif leaf == "bias":
-                    block_p[sub]["bias"] = jnp.asarray(v)
+                    block_p[sub]["bias"] = jnp.array(v)
                 elif leaf == "running_mean":
-                    block_s[sub]["mean"] = jnp.asarray(v)
+                    block_s[sub]["mean"] = jnp.array(v)
                 elif leaf == "running_var":
-                    block_s[sub]["var"] = jnp.asarray(v)
+                    block_s[sub]["var"] = jnp.array(v)
 
 
 SPECS = [
@@ -150,3 +155,79 @@ def test_logits_match_reference(spec, preact, use_proj):
     # across ~60 accumulated convolutions while still binding to ~3 digits
     np.testing.assert_allclose(np.asarray(ours_xgrad), ref_xgrad,
                                rtol=1e-3, atol=3e-4)
+
+
+def test_training_trajectory_matches_reference():
+    """Integration oracle: N full SGD(momentum+wd) steps from identical
+    weights and identical batches produce the same parameters in both
+    frameworks (reference hot loop training.py:92-113 vs our fused step).
+    Exercises loss grad, BN batch-stat updates, momentum, and coupled
+    weight decay together rather than per-unit."""
+    from resnet.architectures.resnet import ResNet as TorchResNet
+
+    from pytorch_ddp_resnet_tpu.algos.steps import (
+        init_train_state, make_train_step)
+    from pytorch_ddp_resnet_tpu.utils.optim import get_optimizer
+
+    spec = "c3,8,3,1,1 n a r2 r2 ap16,1,0 fc16,10"
+    torch.manual_seed(0)
+    tm = TorchResNet(architecture_spec=spec, preact=False, use_proj=False,
+                     dropout_prob=0.0)
+    model = ResNet(spec, preact=False, use_proj=False, dropout_prob=0.0,
+                   compute_dtype=jnp.float32)
+    optimizer = get_optimizer("SGD", {"lr": 0.05, "momentum": 0.9,
+                                      "weight_decay": 1e-3})
+    ts = init_train_state(model, optimizer, jax.random.key(0), (32, 32, 3))
+    _port_weights(tm, ts["params"], ts["model_state"])
+
+    topt = torch.optim.SGD(tm.parameters(), lr=0.05, momentum=0.9,
+                           weight_decay=1e-3)
+    step = jax.jit(make_train_step(model, optimizer, 1))
+
+    rng = np.random.default_rng(1)
+    tm.train()
+
+    def torch_step(x, y):
+        topt.zero_grad()
+        loss = torch.nn.functional.cross_entropy(
+            tm(torch.from_numpy(x.transpose(0, 3, 1, 2))),
+            torch.from_numpy(y).long())
+        loss.backward()
+        topt.step()
+        return float(loss.detach())
+
+    def compare(atol):
+        ref = {n: p.detach().numpy() for n, p in tm.named_parameters()}
+        np.testing.assert_allclose(
+            np.asarray(ts["params"]["00_conv"]["w"]),
+            ref["_architecture.0.weight"].transpose(2, 3, 1, 0), atol=atol)
+        np.testing.assert_allclose(
+            np.asarray(ts["params"]["06_fc"]["w"]),
+            ref["_architecture.6.1.weight"].T, atol=atol)
+        got_var = np.asarray(ts["model_state"]["01_bn"]["var"])
+        tv = dict(tm.named_buffers())["_architecture.1.running_var"].numpy()
+        np.testing.assert_allclose(got_var, tv, rtol=1e-4, atol=atol)
+
+    # one step: tight agreement (immune to chaotic compounding) — this is
+    # the real semantics check for grad + momentum + coupled wd + BN update
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, size=(16,))
+    ts, metrics = step(ts, jnp.asarray(x[None]), jnp.asarray(y[None]),
+                       jnp.float32(0.05), jax.random.key(0))
+    ref_loss = torch_step(x, y)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-5)
+    compare(atol=2e-5)
+
+    # a few more steps: the trajectories stay close. BN + momentum dynamics
+    # amplify fp32 rounding exponentially, so the tolerance here is loose
+    # by design (20-step runs were measured drifting to ~1e-2 from pure
+    # float noise); the per-step losses must still agree to ~3 digits.
+    for i in range(1, 5):
+        x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+        y = rng.integers(0, 10, size=(16,))
+        ts, metrics = step(ts, jnp.asarray(x[None]), jnp.asarray(y[None]),
+                           jnp.float32(0.05), jax.random.key(i))
+        ref_loss = torch_step(x, y)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                                   rtol=2e-3, atol=2e-4)
+    compare(atol=1e-3)
