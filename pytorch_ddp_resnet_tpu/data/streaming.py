@@ -58,13 +58,15 @@ def _native():
 
 def _decode_image(path: str) -> np.ndarray:
     fi = _native()
-    if fi is not None and path.lower().endswith((".jpg", ".jpeg")):
+    ext = path.lower()
+    if fi is not None and ext.endswith((".jpg", ".jpeg", ".png")):
+        decode = fi.decode_png if ext.endswith(".png") else fi.decode_jpeg
         try:
             with open(path, "rb") as f:
-                pix, h, w = fi.decode_jpeg(f.read())
+                pix, h, w = decode(f.read())
             return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
         except ValueError:
-            pass  # exotic color space (e.g. CMYK) -> PIL
+            pass  # exotic color space (CMYK jpeg, alpha png) -> PIL
     from PIL import Image
 
     with Image.open(path) as im:

@@ -57,7 +57,7 @@ def build(verbose: bool = False) -> str:
     tmp = so + ".tmp.so"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-        f"-I{include}", _SOURCE, "-o", tmp, "-ljpeg",
+        f"-I{include}", _SOURCE, "-o", tmp, "-ljpeg", "-lpng",
     ]
     if verbose:
         print("[native] " + " ".join(cmd))

@@ -10,6 +10,7 @@
 //
 // Exposed functions (plain CPython C API, no numpy dependency):
 //   decode_jpeg(data: bytes) -> (pixels: bytes, h: int, w: int)   # RGB888
+//   decode_png(data: bytes) -> (pixels: bytes, h, w)   # alpha -> ValueError
 //   resize_bilinear(pixels: bytes, h, w, nh, nw) -> bytes         # RGB888
 //   decode_resize_jpeg(data: bytes, targets: tuple[int, ...])
 //       -> (pixels: bytes, h: int, w: int)
@@ -35,6 +36,7 @@
 
 extern "C" {
 #include <jpeglib.h>
+#include <png.h>
 }
 
 namespace {
@@ -109,6 +111,44 @@ bool decode_jpeg_impl(const unsigned char* data, size_t len,
     jpeg_destroy_decompress(&cinfo);
     *out_h = h;
     *out_w = w;
+    return true;
+}
+
+// PNG decode via libpng's simplified API (handles gray/palette/alpha ->
+// RGB conversion internally). Returns false on any error; caller falls
+// back to PIL. Runs without the GIL.
+bool decode_png_impl(const unsigned char* data, size_t len,
+                     std::vector<unsigned char>* out,
+                     int* out_h, int* out_w, char* msg) {
+    png_image image;
+    memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, data, len)) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", image.message);
+        return false;
+    }
+    if (static_cast<long long>(image.height) * image.width > MAX_PIXELS) {
+        snprintf(msg, JMSG_LENGTH_MAX,
+                 "image %ux%u exceeds the decompression-bomb pixel cap",
+                 image.height, image.width);
+        png_image_free(&image);
+        return false;
+    }
+    if (image.format & PNG_FORMAT_FLAG_ALPHA) {
+        // alpha handling differs between libpng compositing and PIL's
+        // convert("RGB") strip; keep strict PIL parity via the fallback
+        snprintf(msg, JMSG_LENGTH_MAX, "alpha channel -> PIL fallback");
+        png_image_free(&image);
+        return false;
+    }
+    image.format = PNG_FORMAT_RGB;
+    out->resize(PNG_IMAGE_SIZE(image));
+    if (!png_image_finish_read(&image, nullptr, out->data(), 0, nullptr)) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", image.message);
+        return false;
+    }
+    *out_h = static_cast<int>(image.height);
+    *out_w = static_cast<int>(image.width);
     return true;
 }
 
@@ -308,6 +348,35 @@ PyObject* py_decode_jpeg(PyObject*, PyObject* args) {
     return Py_BuildValue("(Nii)", bytes, h, w);
 }
 
+PyObject* py_decode_png(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+    std::vector<unsigned char> out;
+    int h = 0, w = 0;
+    char msg[JMSG_LENGTH_MAX] = {0};
+    bool ok;
+    Py_BEGIN_ALLOW_THREADS
+    try {
+        ok = decode_png_impl(static_cast<const unsigned char*>(buf.buf),
+                             static_cast<size_t>(buf.len), &out, &h, &w,
+                             msg);
+    } catch (const std::exception& e) {
+        snprintf(msg, JMSG_LENGTH_MAX, "%s", e.what());
+        ok = false;
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf);
+    if (!ok) {
+        PyErr_Format(PyExc_ValueError, "png decode failed: %s", msg);
+        return nullptr;
+    }
+    PyObject* bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        static_cast<Py_ssize_t>(out.size()));
+    if (!bytes) return nullptr;
+    return Py_BuildValue("(Nii)", bytes, h, w);
+}
+
 PyObject* py_resize_bilinear(PyObject*, PyObject* args) {
     Py_buffer buf;
     int h, w, nh, nw;
@@ -407,6 +476,8 @@ PyObject* py_version(PyObject*, PyObject*) {
 PyMethodDef methods[] = {
     {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
      "decode_jpeg(data) -> (rgb_bytes, h, w)"},
+    {"decode_png", py_decode_png, METH_VARARGS,
+     "decode_png(data) -> (rgb_bytes, h, w); alpha PNGs raise (PIL path)"},
     {"resize_bilinear", py_resize_bilinear, METH_VARARGS,
      "resize_bilinear(rgb_bytes, h, w, nh, nw) -> rgb_bytes"},
     {"decode_resize_jpeg", py_decode_resize_jpeg, METH_VARARGS,

@@ -149,3 +149,38 @@ def test_decompression_bomb_cap():
     Image.new("L", (12000, 8000)).save(buf, "JPEG", quality=10)  # 96M px
     with pytest.raises(ValueError, match="pixel cap"):
         fi.decode_jpeg(buf.getvalue())
+
+
+def test_png_decode_matches_pil():
+    rng = np.random.default_rng(6)
+    # RGB, grayscale, and palette PNGs decode bit-identically to PIL
+    rgb = rng.integers(0, 256, size=(45, 61, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(30, 41), dtype=np.uint8)
+    pal = Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE)
+    for im in (Image.fromarray(rgb), Image.fromarray(gray, "L"), pal):
+        buf = io.BytesIO()
+        im.save(buf, "PNG")
+        data = buf.getvalue()
+        pix, h, w = fi.decode_png(data)
+        nat = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(nat, pil)
+
+
+def test_png_alpha_falls_back(tmp_path):
+    """Alpha PNGs raise in native (compositing differs from PIL's strip)
+    and _decode_image silently takes the PIL path."""
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, size=(20, 25, 4), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, "PNG")
+    with pytest.raises(ValueError):
+        fi.decode_png(buf.getvalue())
+
+    from pytorch_ddp_resnet_tpu.data.streaming import _decode_image
+
+    p = tmp_path / "a.png"
+    p.write_bytes(buf.getvalue())
+    out = _decode_image(str(p))
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(out, pil)
