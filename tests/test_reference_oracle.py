@@ -231,3 +231,93 @@ def test_training_trajectory_matches_reference():
         np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
                                    rtol=2e-3, atol=2e-4)
     compare(atol=1e-3)
+
+
+def _import_reference_transforms():
+    """Import the reference's transform module. It imports torchvision and
+    PIL at module scope, but the classes under test (whitening/padding)
+    never touch them — stub just enough to import when absent."""
+    import types
+
+    import PIL.Image  # noqa: F401 — the reference annotates with PIL.Image
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.transforms = types.SimpleNamespace(ToTensor=object)
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tv.transforms
+    import resnet.utils.transform_util as m
+
+    return m
+
+
+def test_fitted_transforms_match_reference():
+    """Transform-library oracle: fitted statistics and whitened outputs
+    agree with the reference's own transform classes
+    (transform_util.py:50-153) on identical data, up to the documented
+    NHWC<->CHW layout permutation."""
+    _import_reference_transforms()
+    from resnet.utils.transform_util import (
+        StandardizeWhiteningTransform as TStd,
+        ZCAWhiteningTransform as TZca,
+        ZeroMeanWhiteningTransform as TZero,
+    )
+
+    from pytorch_ddp_resnet_tpu.data.transforms import (
+        StandardizeWhiteningTransform,
+        ZCAWhiteningTransform,
+        ZeroMeanWhiteningTransform,
+    )
+
+    rng = np.random.default_rng(0)
+    h, w, c = 4, 5, 3
+    n = 64
+    imgs = rng.random((n, h, w, c)).astype(np.float32)  # post-ToTensor scale
+    # the reference fits by iterating (x, y) pairs of CHW tensors
+    tds = [(torch.from_numpy(im.transpose(2, 0, 1)), 0) for im in imgs]
+    probe = imgs[0]
+    tprobe = torch.from_numpy(probe.transpose(2, 0, 1))
+
+    # ZeroMean / Standardize: per-pixel statistics + whitened output
+    for ref_cls, our_cls, tol in [(TZero, ZeroMeanWhiteningTransform, 1e-5),
+                                  (TStd, StandardizeWhiteningTransform, 1e-4)]:
+        ref = ref_cls(data_shape=(c, h, w))
+        ref.fit(tds)
+        ours = our_cls((h, w, c))
+        ours.fit(jnp.asarray(imgs))
+        got = np.asarray(ours.apply_batch(jnp.asarray(probe[None])))[0]
+        want = ref(tprobe).numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=tol)
+
+    # ZCA: the d x d whitening matrices live in different flattening orders
+    # (CHW vs HWC) but whiten the same image to the same pixels — including
+    # the reference's no-centering-at-apply quirk
+    ref = TZca(data_shape=(c, h, w))
+    ref.fit(tds)
+    ours = ZCAWhiteningTransform((h, w, c))
+    ours.fit(jnp.asarray(imgs))
+    got = np.asarray(ours.apply_batch(jnp.asarray(probe[None])))[0]
+    want = ref(tprobe).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_padding_matches_reference():
+    """Zero and mirror padding agree elementwise with the reference's
+    torch.nn.functional.pad semantics (mirror == 'reflect')."""
+    _import_reference_transforms()
+    from resnet.utils.transform_util import PaddingTransform as TPad
+
+    from pytorch_ddp_resnet_tpu.data.transforms import PaddingTransform
+
+    rng = np.random.default_rng(1)
+    img = rng.random((6, 7, 3)).astype(np.float32)
+    timg = torch.from_numpy(img.transpose(2, 0, 1))
+    for pad_type in ("zero", "mirror"):
+        ref = TPad(data_shape=(3, 6, 7), pad_size=2, pad_type=pad_type)
+        ours = PaddingTransform((6, 7, 3), pad_size=2, pad_type=pad_type)
+        got = np.asarray(ours.apply_batch(jnp.asarray(img[None])))[0]
+        want = ref(timg).numpy().transpose(1, 2, 0)
+        np.testing.assert_array_equal(got, want)
