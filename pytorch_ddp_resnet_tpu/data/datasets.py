@@ -432,7 +432,9 @@ _LOADERS = {
 def get_dataset(dataset_cls_name: str, data_dir: str, train: bool, **kwargs):
     """Name-keyed dataset factory (the YAML surface of data_util.py:27-38)."""
     if dataset_cls_name == "ImageNet":
-        return load_imagenet_folder(data_dir, train)
+        # no silent kwargs drop: unknown dataset_args TypeError here like
+        # they do for every other loader
+        return load_imagenet_folder(data_dir, train, **kwargs)
     if dataset_cls_name not in _LOADERS:
         raise ValueError(
             f"Unknown dataset_cls_name {dataset_cls_name!r}; "

@@ -54,21 +54,30 @@ def build(verbose: bool = False) -> str:
         return so
     os.makedirs(os.path.dirname(so), exist_ok=True)
     include = sysconfig.get_paths()["include"]
-    tmp = so + ".tmp.so"
+    # per-process tmp name: concurrent cold-cache builders (multi-process
+    # launch) must not scribble over each other's link output; each links
+    # its own file and the os.replace()s are individually atomic
+    tmp = f"{so}.tmp.{os.getpid()}.so"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
         f"-I{include}", _SOURCE, "-o", tmp, "-ljpeg", "-lpng",
     ]
     if verbose:
         print("[native] " + " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=not verbose)
-    os.replace(tmp, so)  # atomic: concurrent builders race benignly
+    try:
+        subprocess.run(cmd, check=True, capture_output=not verbose)
+        os.replace(tmp, so)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return so
 
 
 def load(verbose: bool = False):
     """Import the extension, building it if needed. None on any failure."""
     global _CACHED, _TRIED
+    if _TRIED:  # lock-free fast path: load() sits on per-sample hot paths
+        return _CACHED
     if os.environ.get("PDRT_NO_NATIVE"):
         return None
     with _LOCK:

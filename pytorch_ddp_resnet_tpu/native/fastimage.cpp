@@ -134,10 +134,15 @@ bool decode_png_impl(const unsigned char* data, size_t len,
         png_image_free(&image);
         return false;
     }
-    if (image.format & PNG_FORMAT_FLAG_ALPHA) {
-        // alpha handling differs between libpng compositing and PIL's
-        // convert("RGB") strip; keep strict PIL parity via the fallback
-        snprintf(msg, JMSG_LENGTH_MAX, "alpha channel -> PIL fallback");
+    if ((image.format & PNG_FORMAT_FLAG_ALPHA) ||
+        (image.format & PNG_FORMAT_FLAG_LINEAR) ||
+        (image.flags & PNG_IMAGE_FLAG_COLORSPACE_NOT_sRGB)) {
+        // Cases where libpng's simplified conversions diverge from PIL:
+        // alpha (libpng composites, PIL strips), 16-bit/linear sources and
+        // non-sRGB gamma (libpng gamma-converts to sRGB, PIL truncates /
+        // ignores gAMA). Strict PIL parity -> fallback.
+        snprintf(msg, JMSG_LENGTH_MAX,
+                 "alpha/16-bit/non-sRGB png -> PIL fallback");
         png_image_free(&image);
         return false;
     }
@@ -426,6 +431,14 @@ PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
         if (t == -1 && PyErr_Occurred()) {
             Py_DECREF(seq);
             PyBuffer_Release(&buf);
+            return nullptr;
+        }
+        if (t <= 0 || t > 65535) {
+            Py_DECREF(seq);
+            PyBuffer_Release(&buf);
+            PyErr_Format(PyExc_ValueError,
+                         "short-side target must be in [1, 65535], got %ld",
+                         t);
             return nullptr;
         }
         targets.push_back(static_cast<int>(t));

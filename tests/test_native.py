@@ -184,3 +184,24 @@ def test_png_alpha_falls_back(tmp_path):
     out = _decode_image(str(p))
     pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
     np.testing.assert_array_equal(out, pil)
+
+
+def test_png_16bit_falls_back():
+    """16-bit PNGs raise in native (libpng gamma-converts, PIL truncates
+    the high byte — different pixels) so the PIL path keeps parity."""
+    rng = np.random.default_rng(8)
+    arr16 = rng.integers(0, 65536, size=(10, 12), dtype=np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr16, "I;16").save(buf, "PNG")
+    with pytest.raises(ValueError):
+        fi.decode_png(buf.getvalue())
+
+
+def test_decode_resize_rejects_bad_targets():
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG")
+    for bad in (0, -3, 100000):
+        with pytest.raises(ValueError):
+            fi.decode_resize_jpeg(buf.getvalue(), (bad,))

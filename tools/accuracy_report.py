@@ -65,13 +65,15 @@ def report(models_dir: str, run_name: str) -> str:
 
     best_ep, best = min(val_err, key=lambda sv: sv[1])
     last_ep, last = val_err[-1]
-    lines += [
+    lines.append(
         f"- **final val top-1 err: {_fmt_pct(last)}** (epoch {last_ep}); "
-        f"best {_fmt_pct(best)} @ epoch {best_ep}",
-        f"- final val loss: {val_loss.get(last_ep, float('nan')):.4f}; "
-        f"train loss end: {train_loss[-1][1]:.4f} "
-        f"(start: {train_loss[0][1]:.4f}) over {train_loss[-1][0] + 1} steps",
-    ]
+        f"best {_fmt_pct(best)} @ epoch {best_ep}")
+    if train_loss:  # an eval-only events file has no train records
+        lines.append(
+            f"- final val loss: {val_loss.get(last_ep, float('nan')):.4f}; "
+            f"train loss end: {train_loss[-1][1]:.4f} "
+            f"(start: {train_loss[0][1]:.4f}) "
+            f"over {train_loss[-1][0] + 1} steps")
     if ips:
         tail = ips[len(ips) // 2:]  # sustained: second half of the run
         lines.append(
