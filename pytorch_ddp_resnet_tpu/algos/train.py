@@ -50,6 +50,7 @@ from pytorch_ddp_resnet_tpu.models.resnet import ResNet
 from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh, put_replicated
 from pytorch_ddp_resnet_tpu.utils import tb
 from pytorch_ddp_resnet_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     PytreeCheckpointable,
     get_checkpoint_strategy,
     maybe_load_checkpoints,
@@ -224,11 +225,30 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     }
 
 
-def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps):
+def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps,
+              checkpointer=None, snapshot_fn=None):
     # Coordinator-only writes (reference: rank-0-only saves, training.py:129);
     # on a shared filesystem every host would otherwise race on the same
     # files. Every process still *observes* the strategy so counters agree.
     if jax.process_index() != 0:
+        return
+    if checkpointer is not None:
+        # Async path: the step function donates train_state, so its buffers
+        # die at the next dispatch — take a device-side copy in ONE compiled
+        # dispatch (~ms), then the writer thread device_gets and serializes
+        # the un-donated copy while training continues (no step-loop stall).
+        snap = snapshot_fn(train_state)
+        checkpointer.submit(
+            checkpoint_dir,
+            {
+                "checkpoint_strategy": strategy,
+                "classifier": PytreeCheckpointable(
+                    {"params": snap["params"],
+                     "model_state": snap["model_state"]}),
+                "optimizer": PytreeCheckpointable(snap["opt_state"]),
+                "scheduler": scheduler,
+            },
+            steps=steps)
         return
     host_state = jax.device_get(train_state)
     save_checkpoints(
@@ -324,6 +344,19 @@ def training_loop(
         chunk_fn = jax.jit(make_chunked_train_step(bound_step, root_rng),
                            donate_argnums=0)
 
+    # Async checkpoint writes (default on; `async_checkpoint: false` for
+    # strict sync semantics): serialization/D2H/GC run on a worker thread;
+    # a WRN-sized save no longer stalls the step loop. Atomic tmp+rename
+    # means a crash mid-write leaves only a tmp file, so resume-from-latest
+    # still sees consistent checkpoints (at worst one save older).
+    checkpointer = (AsyncCheckpointer()
+                    if config.get("async_checkpoint", True)
+                    and is_coordinator else None)
+    snapshot_fn = (jax.jit(
+        lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        if checkpointer is not None else None)
+    save_kw = {"checkpointer": checkpointer, "snapshot_fn": snapshot_fn}
+
     pending = None  # (step_id, device_metrics, n_steps), one-dispatch lag
     t_start, steps_at_start = time.time(), global_step
     last_drain_t = [time.time()]
@@ -401,7 +434,7 @@ def training_loop(
                     scheduler.step(loss_now)
                 if strategy.observe(unit="batch", loss=loss_now):
                     _save_all(checkpoint_dir, strategy, train_state,
-                              scheduler, steps=global_step + 1)
+                              scheduler, steps=global_step + 1, **save_kw)
             else:
                 if pending is not None:
                     drain(pending)
@@ -414,7 +447,8 @@ def training_loop(
                     fired = strategy.observe(unit="batch", loss=None) or fired
                 if fired:
                     _save_all(checkpoint_dir, strategy, train_state,
-                              scheduler, steps=global_step + n_steps)
+                              scheduler, steps=global_step + n_steps,
+                              **save_kw)
 
             global_step += n_steps
             if done():
@@ -437,8 +471,10 @@ def training_loop(
             writer.add_scalar(f"val/{name}", v, epoch)
         if strategy.observe(unit="epoch", loss=val_loss):
             _save_all(checkpoint_dir, strategy, train_state, scheduler,
-                      steps=global_step + 1)
+                      steps=global_step + 1, **save_kw)
 
+    if checkpointer is not None:
+        checkpointer.close()  # flush pending writes before reporting done
     writer.close()
     elapsed = time.time() - t_start
     steps_done = global_step - steps_at_start

@@ -225,6 +225,75 @@ def save_checkpoints(
                             keep=keep)
 
 
+class AsyncCheckpointer:
+    """Background checkpoint writer (SURVEY §5.4's 'Orbax-style async
+    checkpointing' disposition): the training loop snapshots state
+    synchronously — cheap, because ``state_dict()`` builds a fresh
+    container whose leaves are immutable (jax arrays, Python scalars) or
+    never mutated after fit (numpy statistics) — and the serialization,
+    device->host copies, atomic rename, and retention GC all run on one
+    worker thread, so a 0.4 GB WRN checkpoint no longer stalls the step
+    loop.
+
+    Semantics:
+    - saves land in submission order (single worker, FIFO queue);
+    - the queue is bounded (depth 2): if writes can't keep up with the
+      trigger cadence, ``submit`` degrades gracefully to blocking;
+    - ``wait()`` blocks until everything submitted is durable on disk and
+      re-raises the first writer error (also re-raised by a later
+      ``submit``). Call it before reading 'latest' checkpoints and at
+      training exit.
+    """
+
+    def __init__(self):
+        import queue as _queue
+        import threading
+
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                checkpoint_dir, snap, steps, keep = item
+                save_checkpoints(checkpoint_dir, snap, steps, keep=keep)
+            except BaseException as e:  # noqa: BLE001 — surfaced on wait()
+                if self._error is None:
+                    self._error = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, checkpoint_dir: str, checkpointables: Dict[str, Any],
+               steps: int, keep: int = 5) -> None:
+        """Snapshot now, write in the background."""
+        self._raise_pending()
+        snap = {
+            kind: PytreeCheckpointable(c.state_dict())
+            for kind, c in checkpointables.items() if c is not None
+        }
+        self._q.put((checkpoint_dir, snap, steps, keep))
+
+    def wait(self) -> None:
+        """Block until all submitted saves are durable; re-raise errors."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+
 # --- trigger-policy strategies --------------------------------------------
 
 

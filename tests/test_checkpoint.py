@@ -147,3 +147,93 @@ def test_strategy_checkpoint_roundtrip(tmp_path):
 def test_unknown_strategy():
     with pytest.raises(ValueError):
         ckpt.get_checkpoint_strategy("Nope", {})
+
+
+class _DictCheckpointable:
+    def __init__(self, d):
+        self.d = dict(d)
+
+    def state_dict(self):
+        return dict(self.d)
+
+    def load_state_dict(self, d):
+        self.d = dict(d)
+
+
+def test_async_checkpointer_durable_and_ordered(tmp_path):
+    from pytorch_ddp_resnet_tpu.utils.checkpoint import (
+        AsyncCheckpointer, _latest_step, maybe_load_checkpoint)
+
+    ck = AsyncCheckpointer()
+    obj = _DictCheckpointable({"w": np.arange(4.0)})
+    ck.submit(str(tmp_path), {"thing": obj}, steps=10)
+    ck.submit(str(tmp_path), {"thing": obj}, steps=20)
+    ck.wait()
+    assert _latest_step(str(tmp_path), "thing") == 20
+    fresh = _DictCheckpointable({"w": np.zeros(4)})
+    assert maybe_load_checkpoint(str(tmp_path), "thing", fresh,
+                                 verbose=False) == 20
+    np.testing.assert_array_equal(fresh.d["w"], np.arange(4.0))
+    ck.close()
+
+
+def test_async_checkpointer_snapshots_at_submit(tmp_path):
+    """Mutating the checkpointable after submit must not affect the saved
+    state (the training loop keeps advancing strategy counters while the
+    writer drains)."""
+    from pytorch_ddp_resnet_tpu.utils.checkpoint import (
+        AsyncCheckpointer, maybe_load_checkpoint)
+
+    ck = AsyncCheckpointer()
+    obj = _DictCheckpointable({"count": np.asarray(7)})
+    ck.submit(str(tmp_path), {"s": obj}, steps=1)
+    obj.d["count"] = np.asarray(99)  # post-submit mutation
+    ck.wait()
+    fresh = _DictCheckpointable({"count": np.asarray(0)})
+    maybe_load_checkpoint(str(tmp_path), "s", fresh, verbose=False)
+    assert int(fresh.d["count"]) == 7
+    ck.close()
+
+
+def test_async_checkpointer_surfaces_writer_errors(tmp_path):
+    from pytorch_ddp_resnet_tpu.utils.checkpoint import AsyncCheckpointer
+
+    target = tmp_path / "not_a_dir"
+    target.write_text("occupied")  # os.makedirs on a file path fails
+    ck = AsyncCheckpointer()
+    obj = _DictCheckpointable({"w": np.ones(2)})
+    ck.submit(str(target), {"thing": obj}, steps=1)
+    with pytest.raises(OSError):
+        ck.wait()
+    ck.close()
+
+
+def test_training_loop_async_checkpoint_resumable(tmp_path):
+    """training_loop with async_checkpoint (the default) leaves durable,
+    aligned checkpoints that a fresh setup resumes from."""
+    from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
+    from pytorch_ddp_resnet_tpu.utils.config import ConfigParser
+
+    cfg = {
+        "mode": "train", "data_dir": None,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "log_dir": str(tmp_path / "tb"),
+        "dataset_cls_name": "Synthetic",
+        "data_aug_train": {"ToTensorTransform": {}},
+        "data_aug_test": {"ToTensorTransform": {}},
+        "architecture_spec": "c3,4,3,1,1 n a ap32,1,0 fc4,10",
+        "preact": False, "use_proj": False, "dropout_prob": 0.0,
+        "compute_dtype": "float32", "max_steps": 6, "batch_size": 16,
+        "num_microbatches": 1,
+        "optimizer_cls_name": "SGD", "optimizer_args": {"lr": 0.01},
+        "scheduler_cls_name": "None",
+        "checkpoint_strategy_cls_name": "FrequencyCheckpointStrategy",
+        "checkpoint_strategy_args": {"unit": "epoch", "frequency": 1},
+        "log_every": 100,
+    }
+    config = ConfigParser(defaults=cfg)
+    config._config = dict(cfg)
+    ls = setup(config, verbose=False)
+    training_loop(config, ls, verbose=False)
+    ls2 = setup(config, verbose=False)  # resumes from the async-written files
+    assert ls2["global_step"] > 0
