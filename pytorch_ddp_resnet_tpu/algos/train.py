@@ -339,6 +339,14 @@ def training_loop(
             print("steps_per_dispatch: disabled (a batch-unit loss consumer "
                   "or profile window needs per-step dispatches).")
         steps_per_dispatch = 1
+    if steps_per_dispatch > 1 and not getattr(
+            pipeline, "supports_chunking", False):
+        # streaming feeds carry no chunk dim; scanning them would consume
+        # the microbatch axis as steps (decode-bound anyway)
+        if verbose:
+            print("steps_per_dispatch: disabled (this pipeline's feeds are "
+                  "not chunked).")
+        steps_per_dispatch = 1
     chunk_fn = None
     if steps_per_dispatch > 1:
         chunk_fn = jax.jit(make_chunked_train_step(bound_step, root_rng),
@@ -368,8 +376,10 @@ def training_loop(
         host = None
         for i in range(n):
             step_id = step0 + i
-            host = {k: float(v[i]) if n > 1 else float(v)
-                    for k, v in stacked.items()}
+            # chunked metrics are (n,)-stacked even at n == 1; index by the
+            # array's rank, not n (float() on a 1-elem array is deprecated)
+            host = {k: float(v[i]) if getattr(v, "ndim", 0) >= 1
+                    else float(v) for k, v in stacked.items()}
             if verbose and (step_id % log_every == 0):
                 print(f"global step: {step_id}... loss: {host['loss']}")
             for name, v in host.items():
@@ -393,9 +403,10 @@ def training_loop(
 
     while not done():
         epoch = strategy.epoch_step
-        for n_steps, feed in pipeline.train_feed(epoch, steps_per_dispatch):
-            n_steps = min(n_steps, max_steps - global_step)
-            if n_steps <= 0:
+        for n_steps, feed in pipeline.train_feed(
+                epoch, steps_per_dispatch,
+                budget=max_steps - global_step):
+            if n_steps <= 0 or global_step >= max_steps:
                 break
             if profile_steps and global_step == int(profile_steps[0]):
                 jax.profiler.start_trace(log_dir)
@@ -410,10 +421,9 @@ def training_loop(
                         and not scheduler.requires_loss):
                     scheduler.step()
             if chunk_fn is not None:
-                # one compiled function serves full chunks and the ragged
-                # tail (a second trace at the tail length, no third)
-                feed = tuple(f[:n_steps] if n_steps < f.shape[0] else f
-                             for f in feed)
+                # the pipeline already cut the feed to n_steps host-side
+                # (budget=...); one compiled function serves each distinct
+                # chunk length (full K + at most the epoch/budget tails)
                 train_state, metrics = chunk_fn(
                     train_state, feed, jnp.asarray(lrs, jnp.float32),
                     jnp.int32(global_step))

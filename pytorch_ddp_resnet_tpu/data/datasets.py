@@ -118,6 +118,16 @@ def _download_and_extract(url: str, data_dir: str, marker: str) -> None:
             tf.extractall(data_dir, filter="data")
         except TypeError:  # Python < 3.12 has no filter= parameter
             for member in tf.getmembers():
+                # name-path check alone is insufficient: a symlink member
+                # followed by a path THROUGH the link escapes after
+                # extraction even though realpath() passes pre-extraction.
+                # Links are not needed by any dataset archive — reject.
+                if member.issym() or member.islnk():
+                    raise RuntimeError(
+                        f"Archive contains a link member: {member.name}")
+                if not (member.isreg() or member.isdir()):
+                    raise RuntimeError(
+                        f"Archive contains a special member: {member.name}")
                 dest = os.path.realpath(os.path.join(data_dir, member.name))
                 if not dest.startswith(os.path.realpath(data_dir) + os.sep):
                     raise RuntimeError(
@@ -224,8 +234,16 @@ def _load_idx_dataset(data_dir: str, subdir: str, mirror: str, train: bool,
     raw_dir = os.path.join(data_dir, subdir, "raw")
     search = [os.path.join(raw_dir, img_name),
               os.path.join(data_dir, img_name)]
+
+    def find_pair():
+        """Both files, or raise — a lone images file (interrupted prior
+        download) must still trigger the download branch."""
+        img = _find_idx_file(search)
+        lbl = _find_idx_file([os.path.join(os.path.dirname(img), lbl_name)])
+        return img, lbl
+
     try:
-        img_path = _find_idx_file(search)
+        img_path, lbl_path = find_pair()
     except FileNotFoundError:
         if not download:
             raise FileNotFoundError(
@@ -240,9 +258,7 @@ def _load_idx_dataset(data_dir: str, subdir: str, mirror: str, train: bool,
                     urllib.request.urlretrieve(mirror + fname + ".gz",
                                                dest + ".part")
                     os.replace(dest + ".part", dest)
-        img_path = _find_idx_file(search)
-    lbl_path = _find_idx_file(
-        [os.path.join(os.path.dirname(img_path), lbl_name)])
+        img_path, lbl_path = find_pair()
     x = _read_idx(img_path)[..., None]  # (N, 28, 28) -> NHWC with C=1
     y = _read_idx(lbl_path).astype(np.int32)
     return ArrayDataset(np.ascontiguousarray(x), y, num_classes=10, name=name)
@@ -260,7 +276,7 @@ def load_fashion_mnist(data_dir: str, train: bool, download: bool = True) -> Arr
 
 # --- SVHN (cropped digits, .mat) --------------------------------------------
 
-_SVHN_URL = "http://ufldl.stanford.edu/housenumbers/"
+_SVHN_URL = "https://ufldl.stanford.edu/housenumbers/"
 
 
 def load_svhn(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
@@ -286,7 +302,7 @@ def load_svhn(data_dir: str, train: bool, download: bool = True) -> ArrayDataset
 
 # --- STL10 -------------------------------------------------------------------
 
-_STL10_URL = "http://ai.stanford.edu/~acoates/stl10/stl10_binary.tar.gz"
+_STL10_URL = "https://ai.stanford.edu/~acoates/stl10/stl10_binary.tar.gz"
 
 
 def load_stl10(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:

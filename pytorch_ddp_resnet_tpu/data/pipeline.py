@@ -275,18 +275,33 @@ class ResidentPipeline:
 
         return resident_eval
 
-    def train_feed(self, epoch: int, chunk: int = 1):
+    # feeds carry a leading chunk dim when chunk > 1 (training_loop gates
+    # steps_per_dispatch on this; the streaming pipeline sets False)
+    supports_chunking = True
+
+    def train_feed(self, epoch: int, chunk: int = 1,
+                   budget: Optional[int] = None):
         """Yields ``(n_steps, feed_tuple)``. With ``chunk > 1`` feeds carry a
         leading chunk dim of up to ``chunk`` steps (one device dispatch each,
-        see steps.make_chunked_train_step); the final chunk may be shorter."""
+        see steps.make_chunked_train_step); the final chunk may be shorter.
+
+        ``budget`` caps the total steps yielded this epoch (the loop's
+        remaining max_steps). The cap is applied HOST-side, before
+        device_put: slicing a device array in the loop instead would fail
+        on multi-host non-fully-addressable arrays and add a surprise
+        recompile at a new chunk length mid-run."""
         if chunk <= 1:
-            for idx in self.train_batches(epoch):
+            for i, idx in enumerate(self.train_batches(epoch)):
+                if budget is not None and i >= budget:
+                    return
                 yield 1, (idx,)
             return
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(self.mesh, P(None, None, "data"))
         all_idx = self.sampler_train.epoch_indices(epoch)  # (B, M, mb)
+        if budget is not None:
+            all_idx = all_idx[:budget]
         for start in range(0, len(all_idx), chunk):
             blk = all_idx[start:start + chunk]
             yield len(blk), (put_global(blk, sharding),)

@@ -336,8 +336,28 @@ class StreamingPipeline:
                     mask[len(idx):] = 0.0
                     idx = np.concatenate(
                         [idx, np.full((pad,), idx[-1], idx.dtype)])
-                x, y = self._assemble(self.test_ds.paths, self.test_ds.labels,
-                                      self._proc_test, 0, idx[lo:hi])
+                sel = idx[lo:hi]
+                # pad slots all duplicate one sample: decode it once and
+                # tile, instead of bs-1 redundant decodes on the final batch
+                n_real = int(np.sum(mask[lo:hi] > 0))
+                if n_real == len(sel):
+                    x, y = self._assemble(self.test_ds.paths,
+                                          self.test_ds.labels,
+                                          self._proc_test, 0, sel)
+                else:
+                    parts = []
+                    if n_real:
+                        parts.append(self._assemble(
+                            self.test_ds.paths, self.test_ds.labels,
+                            self._proc_test, 0, sel[:n_real]))
+                    pad1 = self._assemble(
+                        self.test_ds.paths, self.test_ds.labels,
+                        self._proc_test, 0, sel[n_real:n_real + 1])
+                    reps = len(sel) - n_real
+                    parts.append((np.repeat(pad1[0], reps, axis=0),
+                                  np.repeat(pad1[1], reps, axis=0)))
+                    x = np.concatenate([p[0] for p in parts])
+                    y = np.concatenate([p[1] for p in parts])
                 y = np.where(mask[lo:hi] > 0, y, 0).astype(np.int32)
                 yield (put_process_local(x, self._sharding, (bs,) + hwc),
                        put_process_local(y, self._sharding, (bs,)),
@@ -367,10 +387,19 @@ class StreamingPipeline:
     def bind_eval_step(self, base_eval):
         return base_eval
 
-    def train_feed(self, epoch: int, chunk: int = 1):
+    # streaming feeds carry NO chunk dim: training_loop must not route them
+    # through the chunked scan (decode-bound anyway)
+    supports_chunking = False
+
+    def train_feed(self, epoch: int, chunk: int = 1,
+                   budget: Optional[int] = None):
         """Yields (1, (x, y)) — the streaming path is decode-bound, not
-        dispatch-bound, so steps_per_dispatch chunking is a no-op here."""
-        for batch in self.train_batches(epoch):
+        dispatch-bound, so steps_per_dispatch chunking is a no-op here.
+        ``budget`` stops the feed (and its prefetch decoding) once the
+        loop's remaining step count is exhausted."""
+        for i, batch in enumerate(self.train_batches(epoch)):
+            if budget is not None and i >= budget:
+                return
             yield 1, batch
 
     def eval_feed(self):

@@ -168,6 +168,13 @@ class ResidualBlock(_BlockBase):
         return layers
 
     def init(self, rng, in_shape: Shape):
+        if (self.transforms_shortcut and not self.use_proj
+                and self.out_channels < self.in_channels):
+            raise ValueError(
+                f"Residual block maps {self.in_channels} -> "
+                f"{self.out_channels} channels with use_proj=False: the "
+                f"option-A zero-pad shortcut cannot SHRINK channels. Use "
+                f"use_proj=True for channel-reducing stack tokens.")
         # Explicit wiring: sublayer roles don't form a simple chain here.
         params, state = {}, {}
         h, w, cin = in_shape
@@ -270,6 +277,13 @@ class BottleneckResidualBlock(_BlockBase):
         return layers
 
     def init(self, rng, in_shape: Shape):
+        if (self.transforms_shortcut and not self.use_proj
+                and self.out_channels < self.in_channels):
+            raise ValueError(
+                f"Bottleneck block maps {self.in_channels} -> "
+                f"{self.out_channels} channels with use_proj=False: the "
+                f"option-A zero-pad shortcut cannot SHRINK channels. Use "
+                f"use_proj=True for channel-reducing stack tokens.")
         h, w, cin = in_shape
         cb, cout, s = self.bottleneck_channels, self.out_channels, self.stride
         oh, ow = (h - 1) // s + 1, (w - 1) // s + 1

@@ -500,11 +500,29 @@ class LambdaLR(LRScheduler):
             self._fn = lr_lambda
         else:
             code = compile(str(lr_lambda), "<lr_lambda>", "eval")
-            for name in code.co_names:
-                if name not in ("epoch", "math", "min", "max", "abs"):
-                    raise ValueError(
-                        f"lr_lambda expression uses disallowed name {name!r}; "
-                        f"allowed: epoch, math.*, min, max, abs.")
+
+            # Validate EVERY nested code object (lambdas/comprehensions in
+            # the expression carry their own co_names — checking only the
+            # top level lets `(lambda: ().__class__...)()` style payloads
+            # reach attribute chains the whitelist is meant to block), and
+            # reject attribute access on anything but the math module.
+            import types as _types
+
+            allowed = {"epoch", "math", "min", "max", "abs"} | {
+                n for n in dir(math) if not n.startswith("_")}
+
+            def check(c):
+                for name in c.co_names:
+                    if name not in allowed:
+                        raise ValueError(
+                            f"lr_lambda expression uses disallowed name "
+                            f"{name!r}; allowed: epoch, math.*, min, max, "
+                            f"abs.")
+                for const in c.co_consts:
+                    if isinstance(const, _types.CodeType):
+                        check(const)
+
+            check(code)
             self._fn = lambda epoch: eval(  # noqa: S307 — names whitelisted
                 code, {"__builtins__": {}},
                 {"epoch": epoch, "math": math, "min": min, "max": max,

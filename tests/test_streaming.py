@@ -163,3 +163,36 @@ def test_streaming_rejects_fittable_test_without_train(tmp_path):
         build_streaming_data(
             ds_tr, ds_te, AUG_TRAIN, bad_test, str(tmp_path / "c"),
             make_mesh(), batch_size=8, num_workers=1, fit_sample_limit=6)
+
+
+def test_training_loop_streaming_with_steps_per_dispatch(tmp_path):
+    """Regression: a streaming config with steps_per_dispatch > 1 must
+    train (the loop auto-disables chunking — streaming feeds carry no
+    chunk dim; previously this crashed scanning the microbatch axis)."""
+    from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
+    from pytorch_ddp_resnet_tpu.utils.config import ConfigParser
+
+    _make_folder(str(tmp_path), "train")
+    _make_folder(str(tmp_path), "val", n_per_class=3)
+    cfg = {
+        "mode": "train", "data_dir": str(tmp_path),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "log_dir": str(tmp_path / "tb"),
+        "dataset_cls_name": "ImageNet",
+        "data_aug_train": dict(AUG_TRAIN),
+        "data_aug_test": dict(AUG_TEST),
+        "architecture_spec": "c3,4,3,1,1 n a ap16,1,0 fc4,2",
+        "preact": False, "use_proj": False, "dropout_prob": 0.0,
+        "compute_dtype": "float32", "max_steps": 3, "batch_size": 16,
+        "num_microbatches": 2, "data_workers": 2,
+        "optimizer_cls_name": "SGD", "optimizer_args": {"lr": 0.01},
+        "scheduler_cls_name": "None",
+        "checkpoint_strategy_cls_name": "FrequencyCheckpointStrategy",
+        "checkpoint_strategy_args": {"unit": "epoch", "frequency": 1},
+        "log_every": 100, "steps_per_dispatch": 8,
+    }
+    config = ConfigParser(defaults=cfg)
+    config._config = dict(cfg)
+    ls = setup(config, verbose=False)
+    out = training_loop(config, ls, verbose=False)
+    assert out["global_step"] == 3
