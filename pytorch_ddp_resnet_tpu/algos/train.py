@@ -230,14 +230,18 @@ def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps,
     # Coordinator-only writes (reference: rank-0-only saves, training.py:129);
     # on a shared filesystem every host would otherwise race on the same
     # files. Every process still *observes* the strategy so counters agree.
-    if jax.process_index() != 0:
-        return
-    if checkpointer is not None:
+    if snapshot_fn is not None:
         # Async path: the step function donates train_state, so its buffers
         # die at the next dispatch — take a device-side copy in ONE compiled
         # dispatch (~ms), then the writer thread device_gets and serializes
         # the un-donated copy while training continues (no step-loop stall).
+        # The snapshot jit runs on EVERY process (a multi-host global array
+        # cannot be dispatched from the coordinator alone); only the submit
+        # below is coordinator-only.
         snap = snapshot_fn(train_state)
+    if jax.process_index() != 0:
+        return
+    if checkpointer is not None:
         checkpointer.submit(
             checkpoint_dir,
             {
@@ -355,14 +359,17 @@ def training_loop(
     # Async checkpoint writes (default on; `async_checkpoint: false` for
     # strict sync semantics): serialization/D2H/GC run on a worker thread;
     # a WRN-sized save no longer stalls the step loop. Atomic tmp+rename
-    # means a crash mid-write leaves only a tmp file, so resume-from-latest
-    # still sees consistent checkpoints (at worst one save older).
+    # plus newest-COMMON-step resume (maybe_load_checkpoints) keep the
+    # crash-resume contract: a kill between per-kind writes resumes from
+    # the last complete save. The snapshot jit exists on every process
+    # (multi-host global arrays dispatch SPMD); the writer only on the
+    # coordinator, which alone touches the filesystem.
+    async_ckpt = bool(config.get("async_checkpoint", True))
     checkpointer = (AsyncCheckpointer()
-                    if config.get("async_checkpoint", True)
-                    and is_coordinator else None)
+                    if async_ckpt and is_coordinator else None)
     snapshot_fn = (jax.jit(
         lambda t: jax.tree_util.tree_map(jnp.copy, t))
-        if checkpointer is not None else None)
+        if async_ckpt else None)
     save_kw = {"checkpointer": checkpointer, "snapshot_fn": snapshot_fn}
 
     pending = None  # (step_id, device_metrics, n_steps), one-dispatch lag

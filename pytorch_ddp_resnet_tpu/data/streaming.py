@@ -56,6 +56,13 @@ def _native():
     return native.load()
 
 
+def _decode_pil(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def _decode_image(path: str) -> np.ndarray:
     fi = _native()
     ext = path.lower()
@@ -67,10 +74,7 @@ def _decode_image(path: str) -> np.ndarray:
             return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
         except ValueError:
             pass  # exotic color space (CMYK jpeg, alpha png) -> PIL
-    from PIL import Image
-
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return _decode_pil(path)
 
 
 def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
@@ -81,9 +85,10 @@ def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
         nh, nw = max(1, int(round(target / w * h))), target
     fi = _native()
     if fi is not None:
+        # a C-contiguous ndarray satisfies the y* buffer protocol directly
+        # (no .tobytes() copy on this per-sample hot path)
         return np.frombuffer(
-            fi.resize_bilinear(np.ascontiguousarray(img).tobytes(),
-                               h, w, nh, nw),
+            fi.resize_bilinear(np.ascontiguousarray(img), h, w, nh, nw),
             np.uint8).reshape(nh, nw, 3)
     from PIL import Image
 
@@ -161,8 +166,11 @@ class HostSampleProcessor:
                         f.read(), tuple(self.scale_targets))
                 return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
             except ValueError:
-                pass  # exotic color space -> PIL fallback below
-        img = _decode_image(path)
+                # exotic color space: go straight to PIL — _decode_image
+                # would retry the native decode that just failed
+                img = _decode_pil(path)
+        else:
+            img = _decode_image(path)
         for target in self.scale_targets:
             img = _resize_short_side(img, target)
         return img

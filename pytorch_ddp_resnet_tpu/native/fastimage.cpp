@@ -306,16 +306,24 @@ inline long py_round(double v) {
     return std::lround(std::nearbyint(v));  // default FE_TONEAREST = half-even
 }
 
-void short_side_dims(int h, int w, int target, int* nh, int* nw) {
+// Returns false when the resized long side would exceed the JPEG
+// dimension ceiling (extreme aspect ratios): static_cast of such a long
+// to int is UB, and the allocation would be absurd — the caller falls
+// back to the Python path's clean handling.
+bool short_side_dims(int h, int w, int target, int* nh, int* nw) {
+    constexpr long MAX_SIDE = 65535;
     if (h <= w) {
         *nh = target;
         long t = py_round(static_cast<double>(target) / h * w);
+        if (t > MAX_SIDE) return false;
         *nw = t < 1 ? 1 : static_cast<int>(t);
     } else {
         long t = py_round(static_cast<double>(target) / w * h);
+        if (t > MAX_SIDE) return false;
         *nh = t < 1 ? 1 : static_cast<int>(t);
         *nw = target;
     }
+    return true;
 }
 
 // ---------------------------------------------------------------------------
@@ -457,7 +465,12 @@ PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
         if (ok) {
             for (int t : targets) {
                 int nh, nw;
-                short_side_dims(h, w, t, &nh, &nw);
+                if (!short_side_dims(h, w, t, &nh, &nw)) {
+                    snprintf(msg, JMSG_LENGTH_MAX,
+                             "resized long side exceeds 65535 -> fallback");
+                    ok = false;
+                    break;
+                }
                 if (nh == h && nw == w) continue;
                 resize_bilinear_impl(img.data(), h, w, nh, nw, &next);
                 img.swap(next);

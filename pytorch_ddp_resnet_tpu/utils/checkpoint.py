@@ -196,20 +196,45 @@ def maybe_load_checkpoints(
     steps: Optional[int] = None,
     verbose: bool = True,
 ) -> int:
-    """Multi-kind load; all present kinds must restore to the same step
-    (reference: checkpoint_util.py:88-115)."""
-    global_steps = []
-    for kind_name, checkpointable in checkpointables.items():
-        if checkpointable is None:
-            continue
-        global_steps.append(maybe_load_checkpoint(
-            checkpoint_dir, kind_name, checkpointable, steps, verbose))
-    if not global_steps:
+    """Multi-kind load; all kinds restore to the same step
+    (reference: checkpoint_util.py:88-115).
+
+    When ``steps`` is None, the target is the newest step at which EVERY
+    kind has a file — not each kind's own latest. A crash between the
+    per-kind writes of one save (a normal window with the async writer)
+    leaves kinds at different latest steps; loading the newest *common*
+    step resumes from the last complete save instead of failing the
+    reference's aligned-step assertion. Kinds sharing no common step (a
+    genuinely corrupted dir) still raise."""
+    kinds = [k for k, c in checkpointables.items() if c is not None]
+    if not kinds:
         return 0
+    if steps is None:
+        per_kind = {
+            k: set(_latest_n_checkpoint_steps(
+                checkpoint_dir, n=1_000_000, kind=k))
+            for k in kinds
+        }
+        if not any(per_kind.values()):
+            steps_ = None  # nothing saved yet: run from scratch
+        else:
+            common = set.intersection(*per_kind.values())
+            if not common:
+                raise RuntimeError(
+                    f"Checkpoint kinds share no common step: "
+                    f"{ {k: sorted(v)[-3:] for k, v in per_kind.items()} }")
+            steps_ = max(common)
+    else:
+        steps_ = steps
+    global_steps = [
+        maybe_load_checkpoint(checkpoint_dir, k, checkpointables[k],
+                              steps_, verbose)
+        for k in kinds
+    ]
     if len(set(global_steps)) != 1:
         raise RuntimeError(
             f"Checkpoint steps not aligned: "
-            f"{dict(zip(checkpointables, global_steps))}")
+            f"{dict(zip(kinds, global_steps))}")
     return global_steps[0]
 
 

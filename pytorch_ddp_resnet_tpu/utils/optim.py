@@ -523,6 +523,21 @@ class LambdaLR(LRScheduler):
                         check(const)
 
             check(code)
+            # co_names can't distinguish a bare name from a math attribute,
+            # so 'sqrt(epoch)' passes the whitelist but would NameError at
+            # the first get_lr() mid-training. A trial evaluation surfaces
+            # the mistake at construction with a fix hint.
+            try:
+                eval(code, {"__builtins__": {}},  # noqa: S307
+                     {"epoch": 0, "math": math, "min": min, "max": max,
+                      "abs": abs})
+            except NameError as e:
+                raise ValueError(
+                    f"lr_lambda expression references an undefined name "
+                    f"({e}); math functions need the math. prefix, e.g. "
+                    f"'math.sqrt(epoch + 1)'.") from None
+            except Exception:  # noqa: BLE001 — e.g. 1/epoch at epoch 0
+                pass
             self._fn = lambda epoch: eval(  # noqa: S307 — names whitelisted
                 code, {"__builtins__": {}},
                 {"epoch": epoch, "math": math, "min": min, "max": max,

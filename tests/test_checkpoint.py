@@ -60,12 +60,20 @@ def test_multi_kind_alignment(tmp_path):
     a2, b2 = ckpt.PytreeCheckpointable(_tree()), ckpt.PytreeCheckpointable(_tree())
     assert ckpt.maybe_load_checkpoints(
         d, {"a": a2, "b": b2, "skipped": None}, verbose=False) == 4
-    # misaligned: bump only one kind
+    # one kind a save ahead (the crash-between-per-kind-writes window, a
+    # normal state with the async writer): resume from the newest step at
+    # which EVERY kind exists — the last complete save
     ckpt.save_checkpoint(d, "a", a, steps=5)
-    with pytest.raises(RuntimeError, match="not aligned"):
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree()),
+            "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 4
+    # kinds sharing NO step (corrupted dir) still raise
+    ckpt.save_checkpoint(d, "only", a, steps=7)
+    with pytest.raises(RuntimeError, match="no common step"):
         ckpt.maybe_load_checkpoints(
             d, {"a": ckpt.PytreeCheckpointable(_tree()),
-                "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False)
+                "only_other": ckpt.PytreeCheckpointable(_tree())},
+            verbose=False)
 
 
 def test_shape_mismatch_rejected(tmp_path):
