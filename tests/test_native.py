@@ -192,7 +192,7 @@ def test_png_16bit_falls_back():
     rng = np.random.default_rng(8)
     arr16 = rng.integers(0, 65536, size=(10, 12), dtype=np.uint16)
     buf = io.BytesIO()
-    Image.fromarray(arr16, "I;16").save(buf, "PNG")
+    Image.fromarray(arr16).save(buf, "PNG")  # uint16 -> 16-bit grayscale
     with pytest.raises(ValueError):
         fi.decode_png(buf.getvalue())
 
