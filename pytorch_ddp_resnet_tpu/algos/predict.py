@@ -90,7 +90,11 @@ class Predictor:
         # the raw-uint8 per-sample input shape the preprocess pipeline expects
         if hasattr(self, "_raw_shape"):
             return self._raw_shape
-        return (32, 32, 3)
+        raise ValueError(
+            "Predictor input shape is unknown: call set_input_shape() "
+            "before export/serve (load_predictor does this from the run's "
+            "data pipeline). Refusing to guess — AOT-compiling a default "
+            "shape would bake the wrong input signature into the artifact.")
 
     def set_input_shape(self, shape):
         self._raw_shape = tuple(shape)

@@ -323,7 +323,7 @@ def training_loop(
 
     # A synchronous loss fetch per step is only needed when a batch-unit
     # consumer requires the fresh value.
-    strategy_needs_loss = type(strategy).__name__ == "PerformanceCheckpointStrategy"
+    strategy_needs_loss = getattr(strategy, "requires_loss", False)
     sync_batch_loss = (
         (scheduler is not None and scheduler.requires_loss
          and scheduler_step_unit == "batch")
@@ -490,9 +490,12 @@ def training_loop(
             _save_all(checkpoint_dir, strategy, train_state, scheduler,
                       steps=global_step + 1, **save_kw)
 
-    if checkpointer is not None:
-        checkpointer.close()  # flush pending writes before reporting done
-    writer.close()
+    try:
+        if checkpointer is not None:
+            checkpointer.close()  # flush pending writes; may re-raise a
+            # deferred background-writer error
+    finally:
+        writer.close()  # TB events flush even on a failed-save run
     elapsed = time.time() - t_start
     steps_done = global_step - steps_at_start
     images_per_sec = (steps_done * config.get("batch_size") / elapsed

@@ -63,20 +63,32 @@ void jpeg_err_silent(j_common_ptr, int) {}
 // bypass the decompression-bomb guard the PIL path provides.
 constexpr long long MAX_PIXELS = 89478485;
 
+// RAII owner of a jpeg_decompress_struct: the destructor runs
+// jpeg_destroy_decompress on EVERY exit path — longjmp error branch,
+// early returns, and C++ exceptions (std::bad_alloc from out->resize)
+// that propagate to the binding's catch, which previously leaked
+// libjpeg-internal allocations. The struct is zero-initialized so
+// destroy is a no-op before jpeg_create_decompress and idempotent after
+// (jpeg_destroy nulls cinfo->mem).
+struct JpegDecompressGuard {
+    jpeg_decompress_struct cinfo = {};
+    ~JpegDecompressGuard() { jpeg_destroy_decompress(&cinfo); }
+};
+
 // Decodes JPEG bytes to tightly-packed RGB888. Returns false (with *msg
 // set) on any libjpeg error, including unsupported color spaces — the
 // Python caller falls back to PIL. Runs without the GIL.
 bool decode_jpeg_impl(const unsigned char* data, size_t len,
                       std::vector<unsigned char>* out,
                       int* out_h, int* out_w, char* msg) {
-    jpeg_decompress_struct cinfo;
+    JpegDecompressGuard guard;
+    jpeg_decompress_struct& cinfo = guard.cinfo;
     JpegErr err;
     cinfo.err = jpeg_std_error(&err.mgr);
     err.mgr.error_exit = jpeg_err_exit;
     err.mgr.emit_message = jpeg_err_silent;  // no stderr chatter
     if (setjmp(err.jump)) {
         snprintf(msg, JMSG_LENGTH_MAX, "%s", err.msg);
-        jpeg_destroy_decompress(&cinfo);
         return false;
     }
     jpeg_create_decompress(&cinfo);
@@ -91,15 +103,13 @@ bool decode_jpeg_impl(const unsigned char* data, size_t len,
     if (cinfo.output_components != 3) {
         snprintf(msg, JMSG_LENGTH_MAX, "unsupported components=%d",
                  cinfo.output_components);
-        jpeg_destroy_decompress(&cinfo);
-        return false;
+        return false;  // guard destroys
     }
     if (static_cast<long long>(h) * w > MAX_PIXELS) {
         snprintf(msg, JMSG_LENGTH_MAX,
                  "image %dx%d exceeds the decompression-bomb pixel cap",
                  h, w);
-        jpeg_destroy_decompress(&cinfo);
-        return false;
+        return false;  // guard destroys
     }
     out->resize(static_cast<size_t>(h) * w * 3);
     const size_t stride = static_cast<size_t>(w) * 3;
@@ -108,7 +118,6 @@ bool decode_jpeg_impl(const unsigned char* data, size_t len,
         jpeg_read_scanlines(&cinfo, &row, 1);
     }
     jpeg_finish_decompress(&cinfo);
-    jpeg_destroy_decompress(&cinfo);
     *out_h = h;
     *out_w = w;
     return true;

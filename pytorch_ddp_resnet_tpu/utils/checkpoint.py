@@ -215,8 +215,20 @@ def maybe_load_checkpoints(
                 checkpoint_dir, n=1_000_000, kind=k))
             for k in kinds
         }
-        if not any(per_kind.values()):
+        empty = [k for k, v in per_kind.items() if not v]
+        if len(empty) == len(kinds):
             steps_ = None  # nothing saved yet: run from scratch
+        elif empty:
+            # A kind with zero files means no complete save ever finished
+            # (reachable in normal operation: a crash during the very first
+            # async save, after some kinds' files but before the rest).
+            # Same outcome as nothing-saved-yet: run from scratch. Name the
+            # empty kinds so a genuinely corrupted dir is diagnosable.
+            if verbose:
+                print(f"Checkpoint kind(s) {empty} have no files at "
+                      f"{checkpoint_dir} (crash during the first save, or "
+                      f"a corrupted dir). Running from scratch.")
+            return 0
         else:
             common = set.intersection(*per_kind.values())
             if not common:
@@ -328,6 +340,12 @@ class CheckpointStrategy(abc.ABC):
     strategy's ``epoch_step`` doubles as the training loop's epoch counter
     (training.py:87-88)."""
 
+    # Subclasses whose observe() consumes the fresh loss set this True; the
+    # training loop reads it to decide on a synchronous per-step loss fetch
+    # (same protocol as LRScheduler.requires_loss — dispatch on capability,
+    # not on type(x).__name__, so subclasses inherit the right behavior).
+    requires_loss = False
+
     def __init__(self, unit: str):
         if unit not in ("batch", "epoch"):
             raise ValueError("unit must be 'batch' or 'epoch'.")
@@ -384,6 +402,8 @@ class FrequencyCheckpointStrategy(CheckpointStrategy):
 
 class PerformanceCheckpointStrategy(CheckpointStrategy):
     """Fire on a new lowest loss (checkpoint_util.py:188-204)."""
+
+    requires_loss = True
 
     def __init__(self, unit: str, **_ignored):
         super().__init__(unit)

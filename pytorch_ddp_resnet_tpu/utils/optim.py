@@ -536,8 +536,21 @@ class LambdaLR(LRScheduler):
                     f"lr_lambda expression references an undefined name "
                     f"({e}); math functions need the math. prefix, e.g. "
                     f"'math.sqrt(epoch + 1)'.") from None
-            except Exception:  # noqa: BLE001 — e.g. 1/epoch at epoch 0
-                pass
+            except Exception as e:  # noqa: BLE001
+                # ANY epoch-0 failure is a construction error: get_lr() is
+                # evaluated at epoch 0 at the first training step, so even
+                # value-domain failures like '1/epoch' crash immediately —
+                # torch.optim.lr_scheduler.LambdaLR likewise evaluates the
+                # lambda at epoch 0 inside __init__ (its initial step())
+                # and raises at construction. TypeError/AttributeError
+                # (e.g. 'min(epoch)', '(1.0).hypot(epoch)' — names that
+                # pass the whitelist but can never evaluate) fail at EVERY
+                # epoch, all the more reason to surface them here.
+                raise ValueError(
+                    f"lr_lambda expression fails to evaluate at epoch 0 "
+                    f"({type(e).__name__}: {e}); get_lr() would crash at "
+                    f"the first training step — guard the expression, "
+                    f"e.g. use (epoch + 1).") from None
             self._fn = lambda epoch: eval(  # noqa: S307 — names whitelisted
                 code, {"__builtins__": {}},
                 {"epoch": epoch, "math": math, "min": min, "max": max,

@@ -67,13 +67,20 @@ def test_multi_kind_alignment(tmp_path):
     assert ckpt.maybe_load_checkpoints(
         d, {"a": ckpt.PytreeCheckpointable(_tree()),
             "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 4
-    # kinds sharing NO step (corrupted dir) still raise
+    # a kind with ZERO files (crash during the very first save, after some
+    # kinds' files but before the rest) falls back to run-from-scratch
+    # instead of hard-failing — same outcome as nothing-saved-yet
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree()),
+            "never_saved": ckpt.PytreeCheckpointable(_tree())},
+        verbose=False) == 0
+    # kinds that BOTH have files but share no step (corrupted dir) still raise
     ckpt.save_checkpoint(d, "only", a, steps=7)
     with pytest.raises(RuntimeError, match="no common step"):
         ckpt.maybe_load_checkpoints(
             d, {"a": ckpt.PytreeCheckpointable(_tree()),
-                "only_other": ckpt.PytreeCheckpointable(_tree())},
-            verbose=False)
+                "only": ckpt.PytreeCheckpointable(_tree())},
+            steps=None, verbose=False)
 
 
 def test_shape_mismatch_rejected(tmp_path):

@@ -90,6 +90,13 @@ def test_predictor_folds_and_exports(tmp_path):
     np.testing.assert_allclose(folded.logits(imgs), plain.logits(imgs),
                                rtol=2e-4, atol=2e-4)
 
+    # export without a declared input shape must refuse (silently AOT-
+    # compiling a guessed shape would bake a wrong signature into the
+    # artifact for any non-CIFAR model)
+    import pytest
+    with pytest.raises(ValueError, match="input shape is unknown"):
+        export_predictor(folded, str(tmp_path / "unset.stablehlo"))
+
     folded.set_input_shape((32, 32, 3))
     path = export_predictor(folded, str(tmp_path / "model.stablehlo"))
     fn = load_exported(path)

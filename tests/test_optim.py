@@ -250,6 +250,29 @@ def test_lambda_lr_rejects_unsafe_expressions():
             "LambdaLR", {"lr_lambda": "open('/etc/passwd')"}, base_lr=0.1)
 
 
+def test_lambda_lr_rejects_expressions_that_can_never_evaluate():
+    # Names that pass the whitelist but fail at EVERY epoch (TypeError /
+    # AttributeError) must be rejected at construction, not at the first
+    # get_lr() mid-training.
+    with pytest.raises(ValueError, match="fails to evaluate"):
+        optim_lib.get_scheduler(
+            "LambdaLR", {"lr_lambda": "min(epoch)"}, base_lr=0.1)
+    with pytest.raises(ValueError, match="fails to evaluate"):
+        optim_lib.get_scheduler(
+            "LambdaLR", {"lr_lambda": "(1.0).hypot(epoch)"}, base_lr=0.1)
+    # value-domain failures at epoch 0 also reject at construction:
+    # get_lr() evaluates at epoch 0 at the first training step, and torch's
+    # LambdaLR likewise raises from its constructor's initial step()
+    with pytest.raises(ValueError, match="fails to evaluate"):
+        optim_lib.get_scheduler(
+            "LambdaLR", {"lr_lambda": "min(1.0, 5.0 / epoch)"}, base_lr=0.1)
+    # the guarded form is fine
+    s = optim_lib.get_scheduler(
+        "LambdaLR", {"lr_lambda": "min(1.0, 5.0 / (epoch + 1))"},
+        base_lr=0.1)
+    assert s.get_lr() == pytest.approx(0.1)
+
+
 def test_warm_restarts_checkpoint_roundtrip():
     args = {"T_0": 3, "T_mult": 2, "eta_min": 1e-3}
     s = optim_lib.get_scheduler("CosineAnnealingWarmRestarts", args,
