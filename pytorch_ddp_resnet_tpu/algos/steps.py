@@ -131,7 +131,10 @@ def make_chunked_train_step(bound_step, root_rng) -> Callable:
     """
 
     def chunk_step(train_state, feeds, lrs, step0):
-        n = lrs.shape[0]
+        # lrs: (K,) lr vector, or a {"lr", "momentum"} dict of (K,) vectors
+        # when the scheduler cycles momentum — lax.scan slices the leading
+        # axis of every leaf either way
+        n = jax.tree_util.tree_leaves(lrs)[0].shape[0]
         steps = step0 + jnp.arange(n, dtype=jnp.int32)
         rngs = jax.vmap(lambda s: jax.random.fold_in(root_rng, s))(steps)
 

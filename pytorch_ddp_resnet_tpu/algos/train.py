@@ -177,6 +177,19 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
     scheduler = get_scheduler(
         config.get("scheduler_cls_name"), config.get("scheduler_args"),
         base_lr=base_lr_of(config.get("optimizer_args")))
+    if (scheduler is not None and scheduler.cycles_momentum
+            and not optimizer.supports_momentum):
+        # torch raises the analogous "optimizer must support momentum" error
+        # when OneCycleLR/CyclicLR cycle momentum over an optimizer without
+        # a momentum group
+        raise ValueError(
+            f"{config.get('scheduler_cls_name')} cycles momentum "
+            f"(cycle_momentum is on by default, as in torch) but optimizer "
+            f"{config.get('optimizer_cls_name')!r} with "
+            f"{config.get('optimizer_args')} does not consume a cycled "
+            f"momentum (needs SGD/RMSprop constructed with momentum != 0). "
+            f"Set scheduler_args: {{cycle_momentum: false}} to schedule "
+            f"the lr only.")
     checkpoint_strategy = get_checkpoint_strategy(
         config.get("checkpoint_strategy_cls_name"),
         config.get("checkpoint_strategy_args"))
@@ -417,13 +430,17 @@ def training_loop(
                 break
             if profile_steps and global_step == int(profile_steps[0]):
                 jax.profiler.start_trace(log_dir)
-            # per-step lrs for this dispatch; non-loss batch schedulers
-            # advance here (plateau batch schedulers imply sync_batch_loss
-            # and K=1, and step after the loss arrives below)
-            lrs = []
+            # per-step lrs (and cycled momentum, when the scheduler does
+            # that) for this dispatch; non-loss batch schedulers advance
+            # here (plateau batch schedulers imply sync_batch_loss and K=1,
+            # and step after the loss arrives below)
+            lrs, moms = [], []
+            cycles_momentum = scheduler is not None and scheduler.cycles_momentum
             for _ in range(n_steps):
                 lrs.append(scheduler.get_lr() if scheduler else base_lr_of(
                     config.get("optimizer_args")))
+                if cycles_momentum:
+                    moms.append(scheduler.get_momentum())
                 if (scheduler and scheduler_step_unit == "batch"
                         and not scheduler.requires_loss):
                     scheduler.step()
@@ -431,13 +448,18 @@ def training_loop(
                 # the pipeline already cut the feed to n_steps host-side
                 # (budget=...); one compiled function serves each distinct
                 # chunk length (full K + at most the epoch/budget tails)
+                hp = jnp.asarray(lrs, jnp.float32)
+                if cycles_momentum:
+                    hp = {"lr": hp, "momentum": jnp.asarray(moms, jnp.float32)}
                 train_state, metrics = chunk_fn(
-                    train_state, feed, jnp.asarray(lrs, jnp.float32),
-                    jnp.int32(global_step))
+                    train_state, feed, hp, jnp.int32(global_step))
             else:
                 rng = jax.random.fold_in(root_rng, global_step)
+                hp = jnp.float32(lrs[0])
+                if cycles_momentum:
+                    hp = {"lr": hp, "momentum": jnp.float32(moms[0])}
                 train_state, metrics = step_fn(
-                    train_state, *feed, jnp.float32(lrs[0]), rng)
+                    train_state, *feed, hp, rng)
             cur = (global_step, metrics, n_steps)
             if profile_steps and global_step == int(profile_steps[1]):
                 jax.block_until_ready(metrics["loss"])

@@ -9,17 +9,28 @@ pure-JAX implementations that reproduce torch's update rules exactly
 
 - optimizers: SGD (momentum/dampening/nesterov/coupled weight decay exactly
   as torch.optim.SGD, including the first-step ``buf = d_p`` special case),
-  Adam, AdamW, RMSprop, Adagrad, NAdam;
+  Adam, AdamW, RMSprop, Adagrad, NAdam, Adadelta, Adamax, RAdam, Rprop,
+  ASGD — the full torch.optim namespace the reference's reflection exposes
+  (optim_util.py:11-18) minus the deliberately-out-of-scope SparseAdam/LBFGS
+  (sparse gradients / line-search closures have no place in a jitted SPMD
+  step; the reference never ran them either);
 - schedulers: MultiStepLR, StepLR, ExponentialLR, CosineAnnealingLR,
   LinearLR, ConstantLR, ReduceLROnPlateau, LambdaLR, OneCycleLR, CyclicLR,
   CosineAnnealingWarmRestarts, and ``'None'`` to disable (optim_util.py:26-27).
 
-Documented divergences from torch: LambdaLR takes the lambda as a YAML-
+Documented divergence from torch: LambdaLR takes the lambda as a YAML-
 expressible arithmetic expression string in ``epoch`` (a Python callable is
 not YAML-encodable — the reference could not configure LambdaLR from YAML
-either); OneCycleLR/CyclicLR schedule the learning rate only (torch also
-cycles the optimizer's momentum in-place; here optimizer hyperparameters
-other than lr are compiled into the step as static constants).
+either).
+
+OneCycleLR/CyclicLR cycle momentum like torch does (``cycle_momentum``,
+default on, torch semantics): the cycled value is fed into the jitted step
+as a traced per-step scalar next to the lr (see ``split_hyperparams``), so
+no recompilation happens. It applies to optimizers that expose a momentum
+hyperparameter (SGD/RMSprop, constructed with momentum != 0 so the buffer
+exists); pairing a momentum-cycling scheduler with any other optimizer
+raises at setup — mirroring torch's "optimizer must support momentum"
+ValueError — with ``cycle_momentum: false`` as the opt-out.
 
 Design: an optimizer is a pair of pure functions over pytrees so the update
 runs *inside* the jitted train step; the learning rate is a traced scalar
@@ -44,10 +55,26 @@ def _tree_map(f, *trees):
 
 class Optimizer(NamedTuple):
     """init(params) -> opt_state; update(grads, opt_state, params, lr) ->
-    (new_params, new_opt_state). lr may be a traced scalar."""
+    (new_params, new_opt_state). lr may be a traced scalar, or — when the
+    scheduler cycles momentum (OneCycleLR/CyclicLR, torch semantics) — a
+    dict ``{"lr": scalar, "momentum": scalar}`` of traced hyperparameters
+    (see ``split_hyperparams``). ``supports_momentum`` marks optimizers
+    whose update consumes the cycled momentum (SGD/RMSprop with a nonzero
+    constructed momentum, mirroring torch's 'momentum'-group check)."""
 
     init: Callable
     update: Callable
+    supports_momentum: bool = False
+
+
+def split_hyperparams(lr):
+    """Normalize the train step's traced hyperparameter slot: plain scalar
+    (the common case — unchanged signature) or a {"lr", "momentum"} dict
+    when a scheduler cycles momentum. The isinstance check is resolved at
+    trace time, so non-cycling runs compile exactly as before."""
+    if isinstance(lr, dict):
+        return lr["lr"], lr.get("momentum")
+    return lr, None
 
 
 def sgd(
@@ -76,6 +103,12 @@ def sgd(
         return state
 
     def update(grads, state, params, lr):
+        lr, cycled_mu = split_hyperparams(lr)
+        # the traced per-step momentum (OneCycle/Cyclic momentum cycling,
+        # like torch's in-place param_group['momentum'] writes) overrides
+        # the constructed constant; buf allocation stays gated on the
+        # static constructed value
+        mu = momentum if cycled_mu is None else cycled_mu
         step = state["step"]
         d_p = grads
         if weight_decay != 0.0:
@@ -84,17 +117,17 @@ def sgd(
         if momentum != 0.0:
             first = step == 0
             buf = _tree_map(
-                lambda b, d: jnp.where(first, d, momentum * b + (1.0 - dampening) * d),
+                lambda b, d: jnp.where(first, d, mu * b + (1.0 - dampening) * d),
                 state["buf"], d_p)
             new_state["buf"] = buf
             if nesterov:
-                d_p = _tree_map(lambda d, b: d + momentum * b, d_p, buf)
+                d_p = _tree_map(lambda d, b: d + mu * b, d_p, buf)
             else:
                 d_p = buf
         new_params = _tree_map(lambda p, d: p - lr * d, params, d_p)
         return new_params, new_state
 
-    return Optimizer(init, update)
+    return Optimizer(init, update, supports_momentum=momentum != 0.0)
 
 
 def adam(
@@ -116,6 +149,7 @@ def adam(
         }
 
     def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
         t = state["step"] + 1
         tf = t.astype(jnp.float32)
         if weight_decay != 0.0 and not decoupled:
@@ -165,6 +199,8 @@ def rmsprop(
         return state
 
     def update(grads, state, params, lr):
+        lr, cycled_mu = split_hyperparams(lr)
+        mu = momentum if cycled_mu is None else cycled_mu
         if weight_decay != 0.0:
             grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
         sq = _tree_map(lambda s, g: alpha * s + (1 - alpha) * g * g,
@@ -178,7 +214,7 @@ def rmsprop(
         else:
             denom = _tree_map(lambda s: jnp.sqrt(s) + eps, sq)
         if momentum > 0:
-            buf = _tree_map(lambda b, g, d: momentum * b + g / d,
+            buf = _tree_map(lambda b, g, d: mu * b + g / d,
                             state["buf"], grads, denom)
             new_state["buf"] = buf
             new_params = _tree_map(lambda p, b: p - lr * b, params, buf)
@@ -187,7 +223,7 @@ def rmsprop(
                                    params, grads, denom)
         return new_params, new_state
 
-    return Optimizer(init, update)
+    return Optimizer(init, update, supports_momentum=momentum > 0)
 
 
 def adagrad(
@@ -215,6 +251,7 @@ def adagrad(
         }
 
     def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
         t = state["step"] + 1
         clr = lr / (1 + (t.astype(jnp.float32) - 1) * lr_decay)
         if weight_decay != 0.0:
@@ -257,6 +294,7 @@ def nadam(
         }
 
     def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
         t = state["step"] + 1
         tf = t.astype(jnp.float32)
         if weight_decay != 0.0:
@@ -284,6 +322,274 @@ def nadam(
     return Optimizer(init, update)
 
 
+def adadelta(
+    lr: float = None,
+    rho: float = 0.9,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.Adadelta semantics (torch/optim/adadelta.py single-tensor
+    path — exact op order matters):
+
+        g = g + wd * p
+        sq  = rho * sq + (1 - rho) * g^2       (updated FIRST)
+        delta = sqrt(acc + eps) / sqrt(sq + eps) * g   (acc from LAST step)
+        acc = rho * acc + (1 - rho) * delta^2
+        p -= lr * delta
+    """
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "sq": _tree_map(jnp.zeros_like, params),
+            "acc": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
+        if weight_decay != 0.0:
+            grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        sq = _tree_map(lambda s, g: rho * s + (1 - rho) * g * g,
+                       state["sq"], grads)
+        delta = _tree_map(
+            lambda a, s, g: jnp.sqrt(a + eps) / jnp.sqrt(s + eps) * g,
+            state["acc"], sq, grads)
+        acc = _tree_map(lambda a, d: rho * a + (1 - rho) * d * d,
+                        state["acc"], delta)
+        new_params = _tree_map(lambda p, d: p - lr * d, params, delta)
+        return new_params, {"step": state["step"] + 1, "sq": sq, "acc": acc}
+
+    return Optimizer(init, update)
+
+
+def adamax(
+    lr: float = None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.Adamax semantics (infinity-norm Adam):
+
+        g = g + wd * p
+        m = b1 * m + (1 - b1) * g
+        u = max(b2 * u, |g| + eps)    (eps inside the max, as torch does)
+        p -= lr / (1 - b1^t) * m / u
+    """
+    b1, b2 = betas
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "m": _tree_map(jnp.zeros_like, params),
+            "u": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        if weight_decay != 0.0:
+            grads = _tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        m = _tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        u = _tree_map(lambda u_, g: jnp.maximum(b2 * u_, jnp.abs(g) + eps),
+                      state["u"], grads)
+        clr = lr / (1 - b1 ** tf)
+        new_params = _tree_map(lambda p, m_, u_: p - clr * m_ / u_,
+                               params, m, u)
+        return new_params, {"step": t, "m": m, "u": u}
+
+    return Optimizer(init, update)
+
+
+def radam(
+    lr: float = None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    decoupled_weight_decay: bool = False,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.RAdam semantics (rectified Adam, Liu et al. 2020):
+
+        rho_inf = 2 / (1 - b2) - 1
+        rho_t   = rho_inf - 2 t b2^t / (1 - b2^t)
+        m_hat   = m / (1 - b1^t)
+        if rho_t > 5:  p -= lr * m_hat * rect(rho_t) * sqrt(1-b2^t)/(sqrt(v)+eps)
+        else:          p -= lr * m_hat                 (un-adapted warmup)
+
+    The rho_t > 5 branch depends only on the (traced) step counter, so it
+    compiles to a jnp.where over the two update forms.
+    """
+    b1, b2 = betas
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "m": _tree_map(jnp.zeros_like, params),
+            "v": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr):
+        lr, _ = split_hyperparams(lr)
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        if weight_decay != 0.0:
+            if decoupled_weight_decay:
+                params = _tree_map(lambda p: p * (1 - lr * weight_decay),
+                                   params)
+            else:
+                grads = _tree_map(lambda g, p: g + weight_decay * p,
+                                  grads, params)
+        m = _tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = _tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g,
+                      state["v"], grads)
+        bc1 = 1 - b1 ** tf
+        bc2 = 1 - b2 ** tf
+        rho_t = rho_inf - 2.0 * tf * (b2 ** tf) / bc2
+        rect = jnp.sqrt(jnp.clip(
+            ((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
+            / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t), a_min=0.0))
+        rectified = rho_t > 5.0
+
+        def upd(p, m_, v_):
+            m_hat = m_ / bc1
+            adaptive = jnp.sqrt(bc2) / (jnp.sqrt(v_) + eps)
+            return p - jnp.where(rectified,
+                                 lr * m_hat * rect * adaptive,
+                                 lr * m_hat)
+
+        new_params = _tree_map(upd, params, m, v)
+        return new_params, {"step": t, "m": m, "v": v}
+
+    return Optimizer(init, update)
+
+
+def rprop(
+    lr: float = 1e-2,
+    etas=(0.5, 1.2),
+    step_sizes=(1e-6, 50.0),
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.Rprop semantics (sign-based, per-weight adaptive steps):
+
+        mult = etaplus  where g * prev > 0
+             | etaminus where g * prev < 0
+             | 1        otherwise
+        step_size = clamp(step_size * mult, step_min, step_max)
+        g = 0 where mult == etaminus        (skip reversal steps)
+        p -= sign(g) * step_size
+        prev = g
+
+    lr only seeds the per-weight step sizes: torch fills the state buffer
+    lazily with the group lr at the FIRST step() call, so we seed from the
+    first *traced* lr the update sees (a scheduler's step-0 lr, matching
+    torch under a scheduler); later traced lrs are deliberately ignored,
+    exactly like torch, where changing group['lr'] after step 1 has no
+    effect on Rprop.
+    """
+    if lr is None:
+        lr = 1e-2
+    etaminus, etaplus = float(etas[0]), float(etas[1])
+    if not 0.0 < etaminus < 1.0 < etaplus:
+        raise ValueError("etas must satisfy 0 < etaminus < 1 < etaplus.")
+    step_min, step_max = float(step_sizes[0]), float(step_sizes[1])
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "prev": _tree_map(jnp.zeros_like, params),
+            "step_size": _tree_map(lambda p: jnp.full_like(p, lr), params),
+        }
+
+    def update(grads, state, params, lr_traced):
+        lr_t, _ = split_hyperparams(lr_traced)
+        # lazy seed, torch-style: the first update's lr fills step_size
+        first = state["step"] == 0
+        seeded = _tree_map(
+            lambda s: jnp.where(first, jnp.asarray(lr_t, s.dtype), s),
+            state["step_size"])
+
+        def mult_of(g, prev):
+            sign = jnp.sign(g * prev)
+            return jnp.where(sign > 0, etaplus,
+                             jnp.where(sign < 0, etaminus, 1.0))
+
+        # three maps sharing mult_of — XLA CSEs the repeated subexpression
+        size = _tree_map(
+            lambda g, pv, s: jnp.clip(s * mult_of(g, pv), step_min, step_max),
+            grads, state["prev"], seeded)
+        zeroed = _tree_map(
+            lambda g, pv: jnp.where(mult_of(g, pv) == etaminus, 0.0, g),
+            grads, state["prev"])
+        new_params = _tree_map(lambda p, g, s: p - jnp.sign(g) * s,
+                               params, zeroed, size)
+        return new_params, {"step": state["step"] + 1, "prev": zeroed,
+                            "step_size": size}
+
+    return Optimizer(init, update)
+
+
+def asgd(
+    lr: float = 1e-2,
+    lambd: float = 1e-4,
+    alpha: float = 0.75,
+    t0: float = 1e6,
+    weight_decay: float = 0.0,
+    **_ignored,
+) -> Optimizer:
+    """torch.optim.ASGD semantics (averaged SGD, Polyak-Ruppert):
+
+        g = g + wd * p
+        p = p * (1 - lambd * eta) - eta * g     (eta from the PREVIOUS step)
+        ax += (p - ax) * mu                     (mu from the PREVIOUS step)
+        eta = lr / (1 + lambd * lr * t)^alpha
+        mu  = 1 / max(1, t - t0)
+
+    ``eta`` is seeded lazily from the first traced lr the update sees
+    (torch fills it with the group lr at the first step() call — a
+    scheduler's step-0 lr, not the constructor's); later steps use the
+    traced per-step lr in the eta recurrence, matching torch under a
+    scheduler. The averaged iterate ``ax`` lives in the optimizer state
+    (torch exposes it the same way); the live params are returned, as
+    torch's step does.
+    """
+    if lr is None:
+        lr = 1e-2
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "eta": jnp.asarray(lr, jnp.float32),
+            "mu": jnp.ones((), jnp.float32),
+            "ax": _tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params, lr_traced):
+        lr_traced, _ = split_hyperparams(lr_traced)
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        # lazy seed, torch-style: the first update's lr becomes eta_0
+        eta = jnp.where(state["step"] == 0,
+                        jnp.asarray(lr_traced, jnp.float32), state["eta"])
+        mu = state["mu"]
+        if weight_decay != 0.0:
+            grads = _tree_map(lambda g, p: g + weight_decay * p,
+                              grads, params)
+        new_params = _tree_map(
+            lambda p, g: p * (1 - lambd * eta) - eta * g, params, grads)
+        # mu == 1 makes ax + (p - ax) * mu == p, so one form covers torch's
+        # copy_ and add_ branches
+        ax = _tree_map(lambda a, p: a + (p - a) * mu, state["ax"], new_params)
+        new_eta = lr_traced / (1 + lambd * lr_traced * tf) ** alpha
+        new_mu = 1.0 / jnp.maximum(1.0, tf - t0)
+        return new_params, {"step": t, "eta": new_eta, "mu": new_mu, "ax": ax}
+
+    return Optimizer(init, update)
+
+
 _OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
     "SGD": sgd,
     "Adam": lambda **kw: adam(decoupled=False, **kw),
@@ -293,6 +599,11 @@ _OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
     "RMSprop": rmsprop,
     "Adagrad": adagrad,
     "NAdam": nadam,
+    "Adadelta": adadelta,
+    "Adamax": adamax,
+    "RAdam": radam,
+    "Rprop": rprop,
+    "ASGD": asgd,
 }
 
 
@@ -329,6 +640,7 @@ class LRScheduler:
     150-151)."""
 
     requires_loss = False  # ReduceLROnPlateau overrides (training.py:20-28)
+    cycles_momentum = False  # OneCycleLR/CyclicLR set per-instance
 
     def __init__(self, base_lr: float):
         self.base_lr = float(base_lr)
@@ -340,6 +652,11 @@ class LRScheduler:
 
     def get_lr(self) -> float:
         raise NotImplementedError
+
+    def get_momentum(self) -> Optional[float]:
+        """The cycled momentum for the *next* optimizer step, or None when
+        this scheduler does not cycle momentum (the common case)."""
+        return None
 
     def state_dict(self) -> Dict[str, Any]:
         return {"last_epoch": self.last_epoch}
@@ -561,13 +878,19 @@ class LambdaLR(LRScheduler):
 
 
 class OneCycleLR(LRScheduler):
-    """torch.optim.lr_scheduler.OneCycleLR (lr schedule only; torch's
-    momentum cycling mutates optimizer hyperparameters in-place, which are
-    static compile-time constants here — documented divergence)."""
+    """torch.optim.lr_scheduler.OneCycleLR, including torch's momentum
+    cycling (``cycle_momentum``, default on): momentum anneals inversely to
+    the lr — max_momentum -> base_momentum on the way up, back to
+    max_momentum on the way down (three_phase: max->base, base->max,
+    max->max). The cycled value reaches the optimizer as a traced per-step
+    scalar (split_hyperparams) instead of torch's in-place param_group
+    writes."""
 
     def __init__(self, base_lr, max_lr, total_steps, pct_start=0.3,
                  anneal_strategy="cos", div_factor=25.0,
-                 final_div_factor=1e4, three_phase=False, **_ignored):
+                 final_div_factor=1e4, three_phase=False,
+                 cycle_momentum=True, base_momentum=0.85, max_momentum=0.95,
+                 **_ignored):
         super().__init__(base_lr)
         if anneal_strategy not in ("cos", "linear"):
             raise ValueError("anneal_strategy must be 'cos' or 'linear'.")
@@ -575,19 +898,23 @@ class OneCycleLR(LRScheduler):
             raise ValueError("pct_start must be in (0, 1).")
         self.total_steps = int(total_steps)
         self.anneal_strategy = anneal_strategy
+        self.cycles_momentum = bool(cycle_momentum)
+        base_m, max_m = float(base_momentum), float(max_momentum)
         initial_lr = float(max_lr) / float(div_factor)
         min_lr = initial_lr / float(final_div_factor)
         up = float(pct_start) * self.total_steps - 1
+        # (end_step, start_lr, end_lr, start_momentum, end_momentum) —
+        # torch's _schedule_phases with the same phase boundaries
         if three_phase:
             self._phases = [
-                (up, initial_lr, float(max_lr)),
-                (2 * up, float(max_lr), initial_lr),
-                (self.total_steps - 1, initial_lr, min_lr),
+                (up, initial_lr, float(max_lr), max_m, base_m),
+                (2 * up, float(max_lr), initial_lr, base_m, max_m),
+                (self.total_steps - 1, initial_lr, min_lr, max_m, max_m),
             ]
         else:
             self._phases = [
-                (up, initial_lr, float(max_lr)),
-                (self.total_steps - 1, float(max_lr), min_lr),
+                (up, initial_lr, float(max_lr), max_m, base_m),
+                (self.total_steps - 1, float(max_lr), min_lr, base_m, max_m),
             ]
 
     def _anneal(self, start: float, end: float, pct: float) -> float:
@@ -595,27 +922,38 @@ class OneCycleLR(LRScheduler):
             return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
         return (end - start) * pct + start
 
-    def get_lr(self) -> float:
+    def _interp(self, lr_slot: bool) -> float:
         step_num = self.last_epoch
         if step_num > self.total_steps:
             raise ValueError(
                 f"Tried to step {step_num} times; total_steps is "
                 f"{self.total_steps}.")
         start_step = 0.0
-        for i, (end_step, start_lr, end_lr) in enumerate(self._phases):
+        for i, (end_step, start_lr, end_lr, start_m, end_m) in enumerate(
+                self._phases):
             if step_num <= end_step or i == len(self._phases) - 1:
                 pct = (step_num - start_step) / (end_step - start_step)
-                return self._anneal(start_lr, end_lr, pct)
+                return (self._anneal(start_lr, end_lr, pct) if lr_slot
+                        else self._anneal(start_m, end_m, pct))
             start_step = end_step
         raise AssertionError  # pragma: no cover
 
+    def get_lr(self) -> float:
+        return self._interp(lr_slot=True)
+
+    def get_momentum(self) -> Optional[float]:
+        return self._interp(lr_slot=False) if self.cycles_momentum else None
+
 
 class CyclicLR(LRScheduler):
-    """torch.optim.lr_scheduler.CyclicLR triangular/triangular2/exp_range
-    (lr schedule only; see OneCycleLR note on momentum cycling)."""
+    """torch.optim.lr_scheduler.CyclicLR triangular/triangular2/exp_range,
+    including torch's momentum cycling (``cycle_momentum``, default on):
+    momentum moves inversely to the lr between max_momentum (at cycle
+    start) and base_momentum (at peak lr), scaled by the same mode rule."""
 
     def __init__(self, base_lr, max_lr, step_size_up=2000,
                  step_size_down=None, mode="triangular", gamma=1.0,
+                 cycle_momentum=True, base_momentum=0.8, max_momentum=0.9,
                  **_ignored):
         super().__init__(base_lr)
         if mode not in ("triangular", "triangular2", "exp_range"):
@@ -627,20 +965,36 @@ class CyclicLR(LRScheduler):
         self.step_ratio = up / self.total_size
         self.mode = mode
         self.gamma = float(gamma)
+        self.cycles_momentum = bool(cycle_momentum)
+        self.base_momentum = float(base_momentum)
+        self.max_momentum = float(max_momentum)
 
-    def get_lr(self) -> float:
+    def _cycle_scale(self):
         cycle = math.floor(1 + self.last_epoch / self.total_size)
         x = 1.0 + self.last_epoch / self.total_size - cycle
         if x <= self.step_ratio:
             scale_factor = x / self.step_ratio
         else:
             scale_factor = (x - 1) / (self.step_ratio - 1)
-        height = (self.max_lr - self.base_lr) * scale_factor
         if self.mode == "triangular":
-            return self.base_lr + height
-        if self.mode == "triangular2":
-            return self.base_lr + height / (2.0 ** (cycle - 1))
-        return self.base_lr + height * self.gamma ** self.last_epoch
+            mode_scale = 1.0
+        elif self.mode == "triangular2":
+            mode_scale = 1.0 / (2.0 ** (cycle - 1))
+        else:
+            mode_scale = self.gamma ** self.last_epoch
+        return scale_factor, mode_scale
+
+    def get_lr(self) -> float:
+        scale_factor, mode_scale = self._cycle_scale()
+        height = (self.max_lr - self.base_lr) * scale_factor
+        return self.base_lr + height * mode_scale
+
+    def get_momentum(self) -> Optional[float]:
+        if not self.cycles_momentum:
+            return None
+        scale_factor, mode_scale = self._cycle_scale()
+        height = (self.max_momentum - self.base_momentum) * scale_factor
+        return self.max_momentum - height * mode_scale
 
 
 class CosineAnnealingWarmRestarts(LRScheduler):

@@ -158,3 +158,59 @@ def test_performance_strategy_and_plateau_e2e(tmp_path):
     assert stats["global_step"] == 6
     ckpts = os.listdir(config.get("checkpoint_dir"))
     assert any(f.startswith("classifier") for f in ckpts)
+
+
+def test_momentum_cycling_e2e(tmp_path):
+    """OneCycleLR with torch-default cycle_momentum feeds the cycled
+    momentum into the jitted step as a traced scalar, in BOTH dispatch
+    modes (per-step and steps_per_dispatch chunking), and the two modes
+    produce the same trajectory."""
+    import jax.numpy as jnp
+
+    def run(run_name, extra):
+        config = _write_run(tmp_path, run_name=run_name, overrides={
+            "max_steps": 8,
+            "scheduler_cls_name": "OneCycleLR",
+            "scheduler_step_unit": "batch",
+            "scheduler_args": {"max_lr": 0.3, "total_steps": 9},
+            **extra,
+        })
+        ls = setup(config, verbose=False)
+        stats = training_loop(config, ls, verbose=False)
+        assert stats["global_step"] == 8
+        return np.asarray(
+            jax.tree_util.tree_leaves(ls["train_state"]["params"])[0])
+
+    import jax
+
+    p_single = run("cycle1", {})
+    p_chunked = run("cycle2", {"steps_per_dispatch": 4})
+    np.testing.assert_allclose(p_chunked, p_single, rtol=2e-5, atol=2e-5)
+
+
+def test_momentum_cycling_requires_momentum_optimizer(tmp_path):
+    """Adam + default-cycling CyclicLR must fail fast at setup (torch's
+    'optimizer must support momentum' analog), and the documented opt-out
+    unblocks it."""
+    config = _write_run(tmp_path, run_name="badcycle", overrides={
+        "optimizer_cls_name": "Adam",
+        "optimizer_args": {"lr": 0.01},
+        "scheduler_cls_name": "CyclicLR",
+        "scheduler_step_unit": "batch",
+        "scheduler_args": {"base_lr": 0.01, "max_lr": 0.1,
+                           "step_size_up": 3},
+    })
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        setup(config, verbose=False)
+    config = _write_run(tmp_path, run_name="okcycle", overrides={
+        "max_steps": 3,
+        "optimizer_cls_name": "Adam",
+        "optimizer_args": {"lr": 0.01},
+        "scheduler_cls_name": "CyclicLR",
+        "scheduler_step_unit": "batch",
+        "scheduler_args": {"base_lr": 0.01, "max_lr": 0.1,
+                           "step_size_up": 3, "cycle_momentum": False},
+    })
+    ls = setup(config, verbose=False)
+    stats = training_loop(config, ls, verbose=False)
+    assert stats["global_step"] == 3
