@@ -22,12 +22,22 @@ def evaluation_loop(pipeline, eval_step_fn, params, model_state) -> Dict[str, fl
     ``eval_step_fn`` is the pipeline-bound jitted step: it takes
     (params, model_state, *feed) where ``feed`` comes from
     ``pipeline.eval_feed()`` — (idx, mask) for the resident pipeline,
-    (x, y, mask) for the streaming one."""
-    totals = None
-    for feed in pipeline.eval_feed():
-        sums = eval_step_fn(params, model_state, *feed)
-        if totals is None:
-            totals = sums
-        else:
-            totals = jax.tree_util.tree_map(lambda a, b: a + b, totals, sums)
+    (x, y, mask) for the streaming one.
+
+    The per-batch weighted sums are accumulated on HOST after all batches
+    are dispatched, not with eager device adds between dispatches: an
+    eager ``a + b`` on global (multi-process) arrays is itself a tiny
+    multi-controller XLA computation, and interleaving ~eval-batch-count
+    of them with the jitted eval steps deadlocked intermittently on the
+    2-process CPU runtime (both controllers parked inside the same eager
+    add — observed under tests/test_multiprocess.py, round 3). Collecting
+    the device handles keeps the eval steps fully async; the single
+    device_get at the end reads locally (the sums are replicated) and the
+    scalar adds happen in numpy."""
+    per_batch = [eval_step_fn(params, model_state, *feed)
+                 for feed in pipeline.eval_feed()]
+    if not per_batch:
+        raise ValueError("Evaluation saw zero batches.")
+    host = jax.device_get(per_batch)
+    totals = jax.tree_util.tree_map(lambda *xs: sum(xs), *host)
     return finalize_eval_metrics(totals)

@@ -251,6 +251,11 @@ def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps,
         # The snapshot jit runs on EVERY process (a multi-host global array
         # cannot be dispatched from the coordinator alone); only the submit
         # below is coordinator-only.
+        if checkpointer is not None:
+            # HBM cap: wait until the PREVIOUS snapshot's device buffers
+            # were dropped (D2H done) before allocating this one — at most
+            # one extra copy of the train state is ever live
+            checkpointer.wait_prior_release()
         snap = snapshot_fn(train_state)
     if jax.process_index() != 0:
         return

@@ -25,15 +25,24 @@ schedulers (optim.py), strategies (below), fitted transforms (data/), and
 from __future__ import annotations
 
 import abc
+import json
 import math
 import os
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
 
 CKPT_SUFFIX = "ckpt"
+
+# Reserved kind: one manifest_{steps}.json per multi-kind save, written
+# LAST, certifies that every kind's file for that step was durably renamed
+# into place — the kind-set becomes atomic as a unit (ROADMAP r2 #7;
+# upgrade over reference checkpoint_util.py:112-114, whose per-kind loads
+# can observe a torn save).
+MANIFEST_KIND = "manifest"
+MANIFEST_SUFFIX = "json"
 
 _NAME_RE = re.compile(r"(\w+)_([0-9]+)\.([a-z]+)$")
 
@@ -147,6 +156,9 @@ def save_checkpoint(
     keep: int = 5,
 ) -> str:
     """Atomic save + retention GC (reference: checkpoint_util.py:74-85)."""
+    if kind_name == MANIFEST_KIND:
+        raise ValueError(
+            f"kind name {MANIFEST_KIND!r} is reserved for save manifests.")
     os.makedirs(checkpoint_dir, exist_ok=True)
     state = checkpointable.state_dict()
     flat = _flatten_state(state)
@@ -190,6 +202,22 @@ def maybe_load_checkpoint(
     return steps_
 
 
+def _manifest_resume_step(checkpoint_dir: str,
+                          kinds: List[str]) -> Optional[int]:
+    """Newest manifested step covering every requested kind whose files all
+    still exist; None when no manifest qualifies (pre-manifest dirs, or a
+    changed kind set — the common-step fallback handles those)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    for step, manifest_kinds in _read_manifests(checkpoint_dir):
+        if not set(kinds) <= set(manifest_kinds):
+            continue
+        if all(os.path.exists(os.path.join(
+                checkpoint_dir, _format_name(k, step))) for k in kinds):
+            return step
+    return None
+
+
 def maybe_load_checkpoints(
     checkpoint_dir: str,
     checkpointables: Dict[str, Any],
@@ -199,16 +227,21 @@ def maybe_load_checkpoints(
     """Multi-kind load; all kinds restore to the same step
     (reference: checkpoint_util.py:88-115).
 
-    When ``steps`` is None, the target is the newest step at which EVERY
-    kind has a file — not each kind's own latest. A crash between the
-    per-kind writes of one save (a normal window with the async writer)
-    leaves kinds at different latest steps; loading the newest *common*
-    step resumes from the last complete save instead of failing the
-    reference's aligned-step assertion. Kinds sharing no common step (a
-    genuinely corrupted dir) still raise."""
+    When ``steps`` is None, the target is the newest step whose manifest
+    (written last by ``save_checkpoints``, so the whole kind set is known
+    durable) covers every requested kind and whose files exist. Dirs
+    without manifests (older saves) fall back to the newest step at which
+    EVERY kind has a file — not each kind's own latest: a crash between
+    the per-kind writes of one save (a normal window with the async
+    writer) leaves kinds at different latest steps, and loading the
+    newest *common* step resumes from the last complete save instead of
+    failing the reference's aligned-step assertion. Kinds sharing no
+    common step (a genuinely corrupted dir) still raise."""
     kinds = [k for k, c in checkpointables.items() if c is not None]
     if not kinds:
         return 0
+    if steps is None:
+        steps = _manifest_resume_step(checkpoint_dir, kinds)
     if steps is None:
         per_kind = {
             k: set(_latest_n_checkpoint_steps(
@@ -250,16 +283,47 @@ def maybe_load_checkpoints(
     return global_steps[0]
 
 
+def _write_manifest(checkpoint_dir: str, steps: int, kinds: List[str],
+                    keep: int = 5) -> None:
+    path = os.path.join(
+        checkpoint_dir, _format_name(MANIFEST_KIND, steps, MANIFEST_SUFFIX))
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"steps": int(steps), "kinds": sorted(kinds)}, f)
+    os.replace(tmp, path)
+    _clean(checkpoint_dir, MANIFEST_KIND, n=keep)
+
+
+def _read_manifests(checkpoint_dir: str) -> List[Tuple[int, List[str]]]:
+    """(steps, kinds) per manifest, newest first; unreadable ones skipped."""
+    out = []
+    for step in reversed(_latest_n_checkpoint_steps(
+            checkpoint_dir, n=1_000_000, kind=MANIFEST_KIND)):
+        path = os.path.join(
+            checkpoint_dir, _format_name(MANIFEST_KIND, step, MANIFEST_SUFFIX))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            out.append((step, list(data["kinds"])))
+        except (OSError, ValueError, KeyError):
+            continue  # torn/corrupted manifest: ignore, older ones cover
+    return out
+
+
 def save_checkpoints(
     checkpoint_dir: str,
     checkpointables: Dict[str, Any],
     steps: int,
     keep: int = 5,
 ) -> None:
-    for kind_name, checkpointable in checkpointables.items():
-        if checkpointable is not None:
-            save_checkpoint(checkpoint_dir, kind_name, checkpointable, steps,
-                            keep=keep)
+    kinds = [k for k, c in checkpointables.items() if c is not None]
+    for kind_name in kinds:
+        save_checkpoint(checkpoint_dir, kind_name, checkpointables[kind_name],
+                        steps, keep=keep)
+    # written LAST: the manifest's existence certifies the whole kind set
+    # landed for this step (a crash before this line leaves no manifest and
+    # resume falls back to the previous manifested/complete save)
+    _write_manifest(checkpoint_dir, steps, kinds, keep=keep)
 
 
 class AsyncCheckpointer:
@@ -276,6 +340,12 @@ class AsyncCheckpointer:
     - saves land in submission order (single worker, FIFO queue);
     - the queue is bounded (depth 2): if writes can't keep up with the
       trigger cadence, ``submit`` degrades gracefully to blocking;
+    - device-memory bound: AT MOST ONE extra device-side copy of the train
+      state is live at any time. The worker device_gets a submitted
+      snapshot FIRST and signals release before the slow serialize/write;
+      ``wait_prior_release()`` (called by the save path before jitting the
+      next snapshot) blocks until that signal, so snapshot N+1's device
+      buffers are only allocated after snapshot N's were dropped;
     - ``wait()`` blocks until everything submitted is durable on disk and
       re-raises the first writer error (also re-raised by a later
       ``submit``). Call it before reading 'latest' checkpoints and at
@@ -288,6 +358,8 @@ class AsyncCheckpointer:
 
         self._q: "_queue.Queue" = _queue.Queue(maxsize=2)
         self._error: Optional[BaseException] = None
+        self._release: Optional["threading.Event"] = None
+        self._threading = threading
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -297,8 +369,21 @@ class AsyncCheckpointer:
             try:
                 if item is None:
                     return
-                checkpoint_dir, snap, steps, keep = item
-                save_checkpoints(checkpoint_dir, snap, steps, keep=keep)
+                checkpoint_dir, snap, steps, keep, release = item
+                try:
+                    # D2H first, then drop the device refs and signal: the
+                    # device-side snapshot's lifetime is the copy, not the
+                    # (much slower) npz serialization + fsync behind it
+                    host_snap = jax.device_get(snap)
+                finally:
+                    snap = None
+                    item = None
+                    release.set()
+                save_checkpoints(
+                    checkpoint_dir,
+                    {k: PytreeCheckpointable(v)
+                     for k, v in host_snap.items()},
+                    steps, keep=keep)
             except BaseException as e:  # noqa: BLE001 — surfaced on wait()
                 if self._error is None:
                     self._error = e
@@ -310,15 +395,23 @@ class AsyncCheckpointer:
             err, self._error = self._error, None
             raise err
 
+    def wait_prior_release(self) -> None:
+        """Block until the previously-submitted snapshot's device buffers
+        were dropped (its D2H copy finished) — the one-extra-copy HBM cap."""
+        if self._release is not None:
+            self._release.wait()
+
     def submit(self, checkpoint_dir: str, checkpointables: Dict[str, Any],
                steps: int, keep: int = 5) -> None:
         """Snapshot now, write in the background."""
         self._raise_pending()
         snap = {
-            kind: PytreeCheckpointable(c.state_dict())
+            kind: c.state_dict()
             for kind, c in checkpointables.items() if c is not None
         }
-        self._q.put((checkpoint_dir, snap, steps, keep))
+        release = self._threading.Event()
+        self._q.put((checkpoint_dir, snap, steps, keep, release))
+        self._release = release
 
     def wait(self) -> None:
         """Block until all submitted saves are durable; re-raise errors."""

@@ -252,3 +252,82 @@ def test_training_loop_async_checkpoint_resumable(tmp_path):
     training_loop(config, ls, verbose=False)
     ls2 = setup(config, verbose=False)  # resumes from the async-written files
     assert ls2["global_step"] > 0
+
+
+# --- save manifests (atomic multi-kind saves) ------------------------------
+
+
+def test_manifest_written_and_preferred(tmp_path):
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    b = ckpt.PytreeCheckpointable(_tree(2.0))
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=4)
+    assert os.path.exists(os.path.join(d, "manifest_4.json"))
+    # a TORN save: kind files for step 9 exist but the crash happened
+    # before the manifest write — resume must pick the manifested step 4,
+    # not the newest common step 9
+    ckpt.save_checkpoint(d, "a", a, steps=9)
+    ckpt.save_checkpoint(d, "b", b, steps=9)
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree()),
+            "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 4
+
+
+def test_manifest_kind_set_change_falls_back(tmp_path):
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    ckpt.save_checkpoints(d, {"a": a}, steps=3)
+    # a NEW kind appears (config change): no manifest covers {a, b}; the
+    # common-step fallback sees b has no files -> run from scratch
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree()),
+            "b": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 0
+    # a SUBSET of the manifested kinds still resumes from the manifest
+    ckpt.save_checkpoints(d, {"a": a, "extra": a}, steps=6)
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 6
+
+
+def test_manifest_retention_gc(tmp_path):
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree())
+    for s in range(1, 9):
+        ckpt.save_checkpoints(d, {"a": a}, steps=s)
+    manifests = sorted(f for f in os.listdir(d) if f.startswith("manifest"))
+    assert manifests == [f"manifest_{s}.json" for s in [4, 5, 6, 7, 8]]
+
+
+def test_manifest_corrupted_is_skipped(tmp_path):
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    ckpt.save_checkpoints(d, {"a": a}, steps=2)
+    ckpt.save_checkpoints(d, {"a": a}, steps=5)
+    with open(os.path.join(d, "manifest_5.json"), "w") as f:
+        f.write("{torn")  # simulated torn write
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 2
+
+
+def test_manifest_kind_reserved(tmp_path):
+    with pytest.raises(ValueError, match="reserved"):
+        ckpt.save_checkpoint(str(tmp_path), "manifest",
+                             ckpt.PytreeCheckpointable(_tree()), steps=1)
+
+
+def test_async_checkpointer_release_caps_device_copies(tmp_path):
+    """wait_prior_release returns once the previous snapshot was host-copied
+    (the one-extra-copy HBM contract), before the file write completes."""
+    from pytorch_ddp_resnet_tpu.utils.checkpoint import AsyncCheckpointer
+
+    ck = AsyncCheckpointer()
+    obj = _DictCheckpointable({"w": np.arange(8.0)})
+    ck.wait_prior_release()  # no-op before any submit
+    ck.submit(str(tmp_path), {"thing": obj}, steps=1)
+    ck.wait_prior_release()  # must not deadlock; returns after D2H
+    ck.submit(str(tmp_path), {"thing": obj}, steps=2)
+    ck.wait()
+    assert os.path.exists(os.path.join(str(tmp_path), "manifest_2.json"))
+    fresh = _DictCheckpointable({"w": np.zeros(8)})
+    assert ckpt.maybe_load_checkpoint(str(tmp_path), "thing", fresh,
+                                      verbose=False) == 2
+    ck.close()
