@@ -12,8 +12,12 @@ Loop cadence parity (training.py:86-171):
   epoch with the epoch as the TB step (training.py:121-127, 153-159);
 - scheduler stepped per 'batch' or per 'epoch' unit, plateau schedulers fed
   the loss (training.py:20-28, 118-119, 150-151);
-- checkpoints at batch/epoch boundaries via the strategy, saved at
-  ``global_step + 1`` (training.py:129-139, 161-171);
+- checkpoints at batch/epoch boundaries via the strategy, saved at the
+  completed-step count (batch saves: ``global_step + 1`` before the
+  increment, training.py:129-139; epoch saves: ``global_step`` after it —
+  the reference's epoch saves use global_step+1 post-increment
+  (training.py:161-171), an off-by-one that skips a training step on
+  every epoch-boundary resume; fixed here, see PARITY.md);
 - per-epoch validation via the evaluation loop (training.py:147).
 
 Known reference divergence (deliberate): the reference advances the
@@ -514,8 +518,16 @@ def training_loop(
         for name, v in val_metrics.items():
             writer.add_scalar(f"val/{name}", v, epoch)
         if strategy.observe(unit="epoch", loss=val_loss):
+            # steps = the COMPLETED optimizer-step count (global_step here,
+            # already advanced past the epoch). The reference saves epoch
+            # checkpoints at global_step+1 (training.py:161-171) even
+            # though its global_step was also already incremented — an
+            # off-by-one that makes its resume SKIP one training step
+            # after every epoch-boundary restore (found round 3 when a
+            # resumed run failed trajectory-equality vs a straight run;
+            # deliberate divergence, documented in PARITY.md).
             _save_all(checkpoint_dir, strategy, train_state, scheduler,
-                      steps=global_step + 1, **save_kw)
+                      steps=global_step, **save_kw)
 
     try:
         if checkpointer is not None:

@@ -26,9 +26,15 @@ import sys
 
 def main():
     port, nproc, pid, workdir, mode = sys.argv[1:6]
+    # optional 6th arg: virtual devices per process (default 2); the
+    # 4-process test uses 1 so the global mesh stays at 4 devices — same
+    # compiled programs as the 2x2 test (warm cache) and light enough that
+    # four cold controllers on one core still make gloo's fixed 30s
+    # rendezvous deadline
+    dev_per_proc = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2")
+        + f" --xla_force_host_platform_device_count={dev_per_proc}")
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # axon plugin hijacks CPU
 
     import jax
@@ -40,7 +46,7 @@ def main():
         process_id=int(pid),
     )
     assert jax.process_count() == int(nproc), jax.process_count()
-    assert len(jax.devices()) == 2 * int(nproc), len(jax.devices())
+    assert len(jax.devices()) == dev_per_proc * int(nproc), len(jax.devices())
 
     import jax.numpy as jnp
     import numpy as np
