@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: lane-packed 3x3 SAME conv for narrow-channel stages.
+
+Why this exists (BASELINE.md "Step-time physics"): XLA:TPU lowers the WRN
+convs to matmuls whose *output lane* dimension is Cout, so the 160-channel
+stage pads 160 -> 256 lanes (62.5% MXU utilization) and the 320-channel
+stage 320 -> 384 (83%); the measured equal-FLOP stage times are
+2.0 : 1.25 : 1. Every cheaper fix was measured dead (int8-via-XLA does not
+engage the 2x MXU mode; composed Winograd is -8x because its transforms
+live on the VPU). This kernel attacks the padding directly with a layout
+the XLA lowering cannot choose (VERDICT round 2, next-round #1, design b):
+
+- **Spatial in lanes, channels in sublanes.** Activations are [C, B*H*W].
+  The matmul is out[Cout, S] = W[Cout, K] @ patches[K, S]: the output lane
+  dim S is batch*spatial — always a multiple of 128 — so Cout (160/320/640,
+  all multiples of the 16-sublane bf16 tile) pads nothing.
+- **Taps grouped to lane-align the contraction.** The 9 taps of a 3x3 are
+  processed in groups of g = 640 // Cin taps (4 for 160ch, 2 for 320ch,
+  1 for 640ch), so each accumulated matmul contracts exactly K = 640 lanes
+  with zero padding; only the remainder group (1 tap at 160ch: K 160->256;
+  1 tap at 320ch: K 320->384) pads. Padded-lane utilization:
+      160ch: 1440/1536 = 93.75%   (XLA: 62.5%)
+      320ch: 2880/2944 = 97.8%    (XLA: 83%)
+      640ch: 5760/5760 = 100%     (XLA: 100%)
+- **Shifted-tap patches from lane rolls.** A tap's patch is a roll of the
+  flattened [C, B*H*W] tile by (dh-1)*W + (dw-1) lanes plus an
+  out-of-image mask (also covers cross-image contamination, because a
+  rolled source position lies in a neighboring image exactly when the
+  decoded (h,w) source is out of range). VPU cost: 9 masked copies of the
+  tile vs 9*Cin MACs/element on the MXU — ~1%.
+
+Scope: stride-1 3x3 SAME convs (the FLOP-dominant shapes; the network's
+two stride-2 transitions and 1x1 projections stay on XLA). Forward only —
+the microbenchmark (tools/bench_conv.py) decides whether dgrad/wgrad and a
+model-wide C-major layout are worth building; see BASELINE.md for the
+verdict and numbers.
+
+Reference parity target: semantics of jax.lax.conv_general_dilated NHWC
+'SAME' (itself the analog of the reference's nn.Conv2d stride-1 blocks,
+residual_block.py); equality is asserted in tests/test_pallas_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tap_groups(cin: int):
+    """Group the 9 taps so each group's contraction K = len(group)*Cin is
+    lane-aligned (640 = 5*128 for the WRN widths); remainder group last."""
+    taps = [(dh, dw) for dh in range(3) for dw in range(3)]
+    g = max(1, 640 // cin) if cin <= 640 else 1
+    return [taps[i:i + g] for i in range(0, 9, g)]
+
+
+def _pick_tile(hw: int, n: int) -> int:
+    """Lane-tile size: a multiple of the per-image spatial size (so image
+    boundaries never cross a tile and rolls need no halo) that is also a
+    multiple of 128 and divides the total."""
+    target = 2048
+    t = hw
+    while t < target and (t * 2) <= n and n % (t * 2) == 0:
+        t *= 2
+    while t % 128 != 0:
+        if t * 2 > n or n % (t * 2) != 0:
+            raise ValueError(
+                f"cannot reach a 128-multiple lane tile from HW={hw}, N={n}")
+        t *= 2
+    return t
+
+
+def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
+                 tile, groups):
+    hw = h * w_img
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    pos = lane % hw
+    hh = pos // w_img
+    ww = pos % w_img
+
+    acc = None
+    col = 0
+    for taps in groups:
+        for j, (dh, dw) in enumerate(taps):
+            shift = (dh - 1) * w_img + (dw - 1)
+            # patch[p] = x[p + shift]  (source h+dh-1, w+dw-1 for output p);
+            # roll is circular, so the negative shift is taken mod tile
+            # (pltpu.roll requires a non-negative amount)
+            rolled = pltpu.roll(x_ref[:], (-shift) % tile, axis=1)
+            src_h = hh + (dh - 1)
+            src_w = ww + (dw - 1)
+            mask = ((src_h >= 0) & (src_h < h)
+                    & (src_w >= 0) & (src_w < w_img))
+            patch_ref[j * cin:(j + 1) * cin, :] = jnp.where(
+                mask, rolled, jnp.zeros_like(rolled))
+        kg = len(taps) * cin
+        wg = w_ref[:, col:col + kg]
+        contrib = jax.lax.dot_general(
+            wg, patch_ref[0:kg, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = contrib if acc is None else acc + contrib
+        col += kg
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def pack_weights(w_hwio: jax.Array) -> jax.Array:
+    """[3, 3, Cin, Cout] (lax.conv HWIO) -> [Cout, 9*Cin], taps row-major
+    in (dh, dw) — the kernel's contraction order."""
+    kh, kw, cin, cout = w_hwio.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError("pack_weights expects a 3x3 kernel.")
+    # -> [dh, dw, cin, cout] -> [cout, dh*dw*cin]
+    return jnp.transpose(w_hwio, (3, 0, 1, 2)).reshape(cout, 9 * cin)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_img", "interpret"))
+def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
+                  w_img: int, interpret: bool = False) -> jax.Array:
+    """Stride-1 SAME 3x3 conv in the lane-packed layout.
+
+    x_cs: [Cin, N] with N = B*H*W (image-major flattening, whole images).
+    w_packed: [Cout, 9*Cin] from pack_weights.
+    Returns [Cout, N] in x_cs.dtype.
+    """
+    cin, n = x_cs.shape
+    cout = w_packed.shape[0]
+    if w_packed.shape[1] != 9 * cin:
+        raise ValueError(f"weights {w_packed.shape} vs Cin {cin}")
+    hw = h * w_img
+    if n % hw != 0:
+        raise ValueError(f"N={n} not a multiple of H*W={hw}")
+    tile = _pick_tile(hw, n)
+    groups = _tap_groups(cin)
+    gmax = max(len(g) for g in groups)
+    kernel = functools.partial(
+        _conv_kernel, cin=cin, cout=cout, h=h, w_img=w_img, tile=tile,
+        groups=groups)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((cin, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cout, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, n), x_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((gmax * cin, tile), x_cs.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cout * 9 * cin * n,
+            bytes_accessed=(cin * n + cout * n) * x_cs.dtype.itemsize
+            + cout * 9 * cin * w_packed.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_cs, w_packed)
+
+
+def nhwc_to_lanes(x_nhwc: jax.Array) -> Tuple[jax.Array, int, int]:
+    """[B, H, W, C] -> ([C, B*H*W], H, W). The transpose XLA inserts here is
+    the integration cost a model-wide C-major layout would amortize away."""
+    b, h, w, c = x_nhwc.shape
+    return jnp.transpose(x_nhwc, (3, 0, 1, 2)).reshape(c, b * h * w), h, w
+
+
+def lanes_to_nhwc(y_cs: jax.Array, b: int, h: int, w: int) -> jax.Array:
+    c = y_cs.shape[0]
+    return jnp.transpose(y_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+
+
+def conv3x3_nhwc(x_nhwc: jax.Array, w_hwio: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """NHWC convenience wrapper (includes the layout transposes — use for
+    correctness checks and for measuring integration cost)."""
+    b, h, w, _ = x_nhwc.shape
+    x_cs, _, _ = nhwc_to_lanes(x_nhwc)
+    y = conv3x3_lanes(x_cs, pack_weights(w_hwio), h=h, w_img=w,
+                      interpret=interpret)
+    return lanes_to_nhwc(y, b, h, w)

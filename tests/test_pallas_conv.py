@@ -1,0 +1,68 @@
+"""Correctness of the lane-packed Pallas 3x3 conv (interpret mode on CPU)
+against jax.lax.conv_general_dilated — the same oracle XLA's own lowering
+implements and the analog of the reference's stride-1 nn.Conv2d blocks
+(reference residual_block.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+    _pick_tile,
+    _tap_groups,
+    conv3x3_nhwc,
+    pack_weights,
+)
+
+
+def _lax_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("b,h,w,cin,cout", [
+    (2, 8, 16, 32, 48),     # multi-image tile, non-square, cin != cout
+    (1, 8, 16, 16, 16),     # single image
+    (4, 8, 16, 160, 32),    # WRN stage-1 width -> 4-taps-per-group path
+])
+def test_conv_matches_lax(b, h, w, cin, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    ref = _lax_conv(x, wts)
+    got = conv3x3_nhwc(x, wts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tap_groups_lane_alignment():
+    # the whole point: per-group contraction K = 640 for every WRN width
+    assert [len(g) for g in _tap_groups(160)] == [4, 4, 1]
+    assert [len(g) for g in _tap_groups(320)] == [2, 2, 2, 2, 1]
+    assert [len(g) for g in _tap_groups(640)] == [1] * 9
+    for cin in (160, 320, 640):
+        for g in _tap_groups(cin)[:-1]:
+            assert (len(g) * cin) % 128 == 0
+
+
+def test_pick_tile_respects_image_boundaries():
+    assert _pick_tile(1024, 256 * 1024) % 1024 == 0     # stage 1
+    assert _pick_tile(256, 256 * 256) % 256 == 0        # stage 2
+    assert _pick_tile(64, 256 * 64) % 128 == 0          # stage 3
+    assert _pick_tile(64, 256 * 64) % 64 == 0
+
+
+def test_padding_masks_zero_out_borders():
+    """An all-ones image with identity-ish weights: border outputs must see
+    fewer taps (SAME zero padding), interior exactly 9."""
+    b, h, w, c = 1, 8, 16, 16
+    x = jnp.ones((b, h, w, c), jnp.float32)
+    wts = jnp.zeros((3, 3, c, 1), jnp.float32)
+    wts = wts.at[:, :, 0, 0].set(1.0)  # sum the 9 taps of channel 0
+    out = conv3x3_nhwc(x, wts, interpret=True)[0, :, :, 0]
+    assert float(out[4, 8]) == 9.0
+    assert float(out[0, 0]) == 4.0     # corner: 2x2 valid taps
+    assert float(out[0, 8]) == 6.0     # top edge: 2x3
+    assert float(out[4, 0]) == 6.0     # left edge: 3x2
