@@ -29,10 +29,13 @@ the XLA lowering cannot choose (VERDICT round 2, next-round #1, design b):
   tile vs 9*Cin MACs/element on the MXU — ~1%.
 
 Scope: stride-1 3x3 SAME convs (the FLOP-dominant shapes; the network's
-two stride-2 transitions and 1x1 projections stay on XLA). Forward only —
-the microbenchmark (tools/bench_conv.py) decides whether dgrad/wgrad and a
-model-wide C-major layout are worth building; see BASELINE.md for the
-verdict and numbers.
+two stride-2 transitions and 1x1 projections stay on XLA). All three
+derivatives are covered: forward (conv3x3_lanes), input gradient (the
+same kernel with rot180/transposed weights, pack_weights_dgrad), and
+weight gradient (conv3x3_wgrad_lanes — dy @ patches^T with the same tap
+grouping, so the output lane dim is 640-aligned per group too). The
+microbenchmark (tools/bench_conv.py) decides whether a model-wide C-major
+layout integration is worth it; see BASELINE.md for verdict and numbers.
 
 Reference parity target: semantics of jax.lax.conv_general_dilated NHWC
 'SAME' (itself the analog of the reference's nn.Conv2d stride-1 blocks,
@@ -160,6 +163,110 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
             transcendentals=0),
         interpret=interpret,
     )(x_cs, w_packed)
+
+
+def pack_weights_dgrad(w_hwio: jax.Array) -> jax.Array:
+    """Weights for the INPUT gradient of a stride-1 SAME 3x3 conv, packed
+    for conv3x3_lanes: dx = conv(dy, rot180(W) with in/out channels
+    swapped), i.e. W'[dh, dw, co, ci] = W[2-dh, 2-dw, ci, co]. The dgrad
+    is then the SAME lane-packed forward kernel applied to dy."""
+    w_rot = jnp.transpose(w_hwio[::-1, ::-1], (0, 1, 3, 2))  # [3,3,Cout,Cin]
+    return pack_weights(w_rot)
+
+
+def _wgrad_kernel(x_ref, dy_ref, out_ref, patch_ref, *, cin, h, w_img,
+                  tile, taps, n_tiles):
+    """One tap-group's dW block: dW[Cout, Kg] += dy_tile @ patches_tile^T,
+    accumulated across the (minor) spatial-tile grid dimension."""
+    s = pl.program_id(0)
+    hw = h * w_img
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    pos = lane % hw
+    hh = pos // w_img
+    ww = pos % w_img
+
+    for j in range(patch_ref.shape[0] // cin):
+        if j < len(taps):
+            dh, dw = taps[j]
+            shift = (dh - 1) * w_img + (dw - 1)
+            rolled = pltpu.roll(x_ref[:], (-shift) % tile, axis=1)
+            src_h = hh + (dh - 1)
+            src_w = ww + (dw - 1)
+            mask = ((src_h >= 0) & (src_h < h)
+                    & (src_w >= 0) & (src_w < w_img))
+            patch_ref[j * cin:(j + 1) * cin, :] = jnp.where(
+                mask, rolled, jnp.zeros_like(rolled))
+        else:
+            # remainder group: zero the unused rows so the padded dW
+            # columns come out zero instead of garbage
+            patch_ref[j * cin:(j + 1) * cin, :] = jnp.zeros(
+                (cin, tile), patch_ref.dtype)
+
+    contrib = jax.lax.dot_general(
+        dy_ref[:], patch_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes (S)
+        preferred_element_type=jnp.float32)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = contrib
+
+    @pl.when(s > 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_img", "interpret"))
+def conv3x3_wgrad_lanes(x_cs: jax.Array, dy_cs: jax.Array, *, h: int,
+                        w_img: int, interpret: bool = False) -> jax.Array:
+    """Weight gradient of the stride-1 SAME 3x3 conv in the lane layout.
+
+    x_cs: [Cin, N]; dy_cs: [Cout, N] (N = B*H*W, whole images).
+    Returns dW as [3, 3, Cin, Cout] (HWIO, matching lax.conv's cotangent).
+
+    MXU mapping: per tap-group, dW_block[Cout, Kg<=640] = dy @ patches^T —
+    M = Cout (sublanes), K = spatial (lanes, 128-aligned), N = Kg lanes
+    (640 exact for every WRN width; only the remainder group pads).
+    """
+    cin, n = x_cs.shape
+    cout = dy_cs.shape[0]
+    hw = h * w_img
+    if n % hw != 0 or dy_cs.shape[1] != n:
+        raise ValueError(f"bad shapes x={x_cs.shape} dy={dy_cs.shape}")
+    tile = _pick_tile(hw, n)
+    groups = _tap_groups(cin)
+    gmax = max(len(g) for g in groups)
+    n_tiles = n // tile
+
+    blocks = []
+    for taps in groups:
+        kernel = functools.partial(
+            _wgrad_kernel, cin=cin, h=h, w_img=w_img, tile=tile, taps=taps,
+            n_tiles=n_tiles)
+        blk = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((cin, tile), lambda s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cout, tile), lambda s: (0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((cout, gmax * cin), lambda s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cout, gmax * cin), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((gmax * cin, tile), x_cs.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * cout * len(taps) * cin * n,
+                bytes_accessed=(cin * n + cout * n) * x_cs.dtype.itemsize
+                + cout * gmax * cin * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x_cs, dy_cs)
+        blocks.append(blk[:, :len(taps) * cin])
+    dw_flat = jnp.concatenate(blocks, axis=1)      # [Cout, 9*Cin]
+    # [Cout, dh, dw, Cin] -> HWIO [dh, dw, Cin, Cout]
+    return jnp.transpose(dw_flat.reshape(cout, 3, 3, cin), (1, 2, 3, 0))
 
 
 def nhwc_to_lanes(x_nhwc: jax.Array) -> Tuple[jax.Array, int, int]:

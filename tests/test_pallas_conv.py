@@ -66,3 +66,48 @@ def test_padding_masks_zero_out_borders():
     assert float(out[0, 0]) == 4.0     # corner: 2x2 valid taps
     assert float(out[0, 8]) == 6.0     # top edge: 2x3
     assert float(out[4, 0]) == 6.0     # left edge: 3x2
+
+
+def test_dgrad_matches_lax_vjp():
+    """Input gradient: the dgrad of a stride-1 SAME 3x3 conv is the same
+    lane-packed forward kernel applied to dy with rot180/transposed
+    weights (pack_weights_dgrad)."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+        conv3x3_lanes, lanes_to_nhwc, nhwc_to_lanes, pack_weights_dgrad)
+
+    rng = np.random.default_rng(1)
+    b, h, w, cin, cout = 2, 8, 16, 32, 48
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(b, h, w, cout)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda x_: _lax_conv(x_, wts), x)
+    (dx_ref,) = vjp(dy)
+
+    dy_cs, _, _ = nhwc_to_lanes(dy)
+    dx_cs = conv3x3_lanes(dy_cs, pack_weights_dgrad(wts), h=h, w_img=w,
+                          interpret=True)
+    dx = lanes_to_nhwc(dx_cs, b, h, w)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 48), (160, 32)])
+def test_wgrad_matches_lax_vjp(cin, cout):
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+        conv3x3_wgrad_lanes, nhwc_to_lanes)
+
+    rng = np.random.default_rng(2)
+    b, h, w = 2, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(b, h, w, cout)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda w_: _lax_conv(x, w_), wts)
+    (dw_ref,) = vjp(dy)
+
+    x_cs, _, _ = nhwc_to_lanes(x)
+    dy_cs, _, _ = nhwc_to_lanes(dy)
+    dw = conv3x3_wgrad_lanes(x_cs, dy_cs, h=h, w_img=w, interpret=True)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=2e-4)
