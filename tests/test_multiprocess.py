@@ -33,30 +33,54 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _launch(mode, workdir, nproc=2, timeout=420, dev_per_proc=2):
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, DRIVER, str(port), str(nproc), str(pid),
-             workdir, mode, str(dev_per_proc)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=REPO)
-        for pid in range(nproc)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
-    for p, out in zip(procs, outs):
+def _launch(mode, workdir, nproc=2, timeout=420, dev_per_proc=2,
+            retries=2):
+    """Run nproc driver processes; retry on gloo-rendezvous timeouts.
+
+    XLA:CPU's gloo context init has a fixed 30s key-value deadline that
+    starts at the FIRST process's first collective; on this 1-core host,
+    nproc cold controllers compiling/loading serially can exceed that
+    skew under load. A retry reruns with every compile cache warm — an
+    environment capacity limit, not product logic, so bounded retries
+    keep the test meaningful without masking real failures (any other
+    error signature fails immediately)."""
+    last = None
+    for _ in range(retries + 1):
+        port = _free_port()
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS",
+                            "JAX_PLATFORMS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, DRIVER, str(port), str(nproc), str(pid),
+                 workdir, mode, str(dev_per_proc)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=REPO)
+            for pid in range(nproc)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        ok = all(p.returncode == 0 and "MP_DRIVER_OK" in out
+                 for p, out in zip(procs, outs))
+        if ok:
+            return [
+                {parts[1]: float(parts[2])
+                 for line in out.splitlines() if line.startswith("DIGEST ")
+                 for parts in [line.split()]}
+                for out in outs
+            ]
+        last = outs
+        rendezvous_flake = any(
+            "Gloo context initialization failed" in out
+            or "GetKeyValue() timed out" in out
+            for out in outs)
+        if not rendezvous_flake:
+            break
+    for p, out in zip(procs, last):
         assert p.returncode == 0 and "MP_DRIVER_OK" in out, out[-4000:]
-    return [
-        {parts[1]: float(parts[2])
-         for line in out.splitlines() if line.startswith("DIGEST ")
-         for parts in [line.split()]}
-        for out in outs
-    ]
+    raise AssertionError("unreachable")
 
 
 def _write_synthetic_config(workdir):
