@@ -17,9 +17,13 @@ Supported ``dataset_cls_name`` values:
   (``<root>/imagenet/{train,val}/<wnid>/*.JPEG``); listed lazily and decoded
   on worker threads by the streaming pipeline (images have non-uniform
   sizes, so HBM residency doesn't apply).
-- ``MNIST`` / ``FashionMNIST``: parsed natively from the idx-ubyte files in
-  the torchvision ``<root>/{MNIST,FashionMNIST}/raw`` layout (also accepts
-  the files directly under ``<root>``), gzipped or not.
+- ``MNIST`` / ``FashionMNIST`` / ``KMNIST``: parsed natively from the
+  idx-ubyte files in the torchvision ``<root>/<Name>/raw`` layout (also
+  accepts the files directly under ``<root>``), gzipped or not.
+- ``QMNIST``: idx3-ubyte images + idx2-int (N, 8) label records, class in
+  column 0 (torchvision ``compat=True`` semantics).
+- ``USPS``: bz2 libsvm-format text, 16x16 grayscale, torchvision's
+  (v+1)/2*255 uint8 mapping and 0-based labels.
 - ``SVHN``: the ``{train,test}_32x32.mat`` cropped-digits files (scipy .mat
   parsing); torchvision's label-10-means-digit-0 remap is reproduced.
 - ``STL10``: ``stl10_binary`` column-major uint8 planes, 1-indexed labels.
@@ -30,10 +34,17 @@ Supported ``dataset_cls_name`` values:
   (the reference has no offline story; SURVEY.md §4 calls for one).
 
 The reference resolves these names by reflection with a train->'val' split
-adaptation (data_util.py:27-38) — a quirk that actually *crashes* for
-SVHN/STL10 (their torchvision ``split`` values are 'train'/'test', not
-'val'); this registry maps ``train: bool`` to each dataset's natural
-train/test split instead.
+adaptation (data_util.py:27-38) — breadth that is largely illusory: a
+dataset only actually works there if it BOTH survives the kwarg rewrite
+(accepts ``train``, or a ``split`` whose values include 'val') AND exposes
+a ``.data`` array (``_get_initial_data_shape`` dereferences
+``dataset.data[0].shape``, data_util.py:40-45). That rules out e.g.
+Caltech101 (no ``train``/``split`` kwarg -> TypeError), CelebA (split
+values are 'train'/'valid'/'test'), DTD (no ``.data``), and crashes
+SVHN/STL10 at test time ('val' invalid). The reference's genuinely working
+set — the CIFAR/MNIST-family arrays plus USPS — is covered here in full by
+native parsers, with SVHN/STL10 additionally *fixed* (mapped to their
+natural train/test splits).
 """
 
 from __future__ import annotations
@@ -199,20 +210,25 @@ _FASHION_MIRROR = ("http://fashion-mnist.s3-website.eu-central-1"
                    ".amazonaws.com/")
 
 
+_IDX_DTYPES = {0x08: np.uint8, 0x0C: np.dtype(">i4")}  # ubyte, big-endian int
+
+
 def _read_idx(path: str) -> np.ndarray:
-    """Parse an idx-ubyte file (optionally .gz): big-endian magic declaring
-    dtype 0x08 (uint8) and ndim, then per-dim int32 sizes, then raw data."""
+    """Parse an idx file (optionally .gz): big-endian magic declaring dtype
+    (0x08 uint8, 0x0C int32 — the QMNIST label format) and ndim, then
+    per-dim int32 sizes, then raw data."""
     import gzip
 
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read()
-    if raw[0] != 0 or raw[1] != 0 or raw[2] != 0x08:
-        raise ValueError(f"{path} is not an idx-ubyte file.")
+    if raw[0] != 0 or raw[1] != 0 or raw[2] not in _IDX_DTYPES:
+        raise ValueError(f"{path} is not a supported idx file.")
+    dtype = _IDX_DTYPES[raw[2]]
     ndim = raw[3]
     dims = [int.from_bytes(raw[4 + 4 * i:8 + 4 * i], "big")
             for i in range(ndim)]
-    data = np.frombuffer(raw, np.uint8, offset=4 + 4 * ndim)
+    data = np.frombuffer(raw, dtype, offset=4 + 4 * ndim)
     return data.reshape(dims)
 
 
@@ -272,6 +288,104 @@ def load_mnist(data_dir: str, train: bool, download: bool = True) -> ArrayDatase
 def load_fashion_mnist(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
     return _load_idx_dataset(data_dir, "FashionMNIST", _FASHION_MIRROR,
                              train, download, "FashionMNIST")
+
+
+_KMNIST_MIRROR = "http://codh.rois.ac.jp/kmnist/dataset/kmnist/"
+
+
+def load_kmnist(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    """Kuzushiji-MNIST: byte-identical idx layout to MNIST (10 classes)."""
+    return _load_idx_dataset(data_dir, "KMNIST", _KMNIST_MIRROR, train,
+                             download, "KMNIST")
+
+
+# --- QMNIST (idx3-ubyte images + idx2-int label records) ---------------------
+
+_QMNIST_MIRROR = ("https://raw.githubusercontent.com/facebookresearch/"
+                  "qmnist/master/")
+
+
+def load_qmnist(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    """QMNIST in the torchvision layout (<root>/QMNIST/raw/): images are
+    idx3-ubyte like MNIST; labels are idx2-int records of shape (N, 8)
+    whose column 0 is the class (torchvision's ``compat=True`` target)."""
+    split = "qmnist-train" if train else "qmnist-test"
+    img_name = f"{split}-images-idx3-ubyte"
+    lbl_name = f"{split}-labels-idx2-int"
+    raw_dir = os.path.join(data_dir, "QMNIST", "raw")
+    search = [os.path.join(raw_dir, img_name),
+              os.path.join(data_dir, img_name)]
+
+    def find_pair():
+        img = _find_idx_file(search)
+        lbl = _find_idx_file([os.path.join(os.path.dirname(img), lbl_name)])
+        return img, lbl
+
+    try:
+        img_path, lbl_path = find_pair()
+    except FileNotFoundError:
+        if not download:
+            raise FileNotFoundError(
+                f"QMNIST not found under {data_dir} "
+                f"(expected QMNIST/raw/{img_name}[.gz]).") from None
+        with FileLock(os.path.join(_ensure_dir(data_dir), "QMNIST.lock")):
+            os.makedirs(raw_dir, exist_ok=True)
+            for fname in (img_name, lbl_name):
+                dest = os.path.join(raw_dir, fname + ".gz")
+                if not os.path.exists(dest):
+                    print(f"Downloading {_QMNIST_MIRROR}{fname}.gz -> {dest}")
+                    urllib.request.urlretrieve(_QMNIST_MIRROR + fname + ".gz",
+                                               dest + ".part")
+                    os.replace(dest + ".part", dest)
+        img_path, lbl_path = find_pair()
+    x = _read_idx(img_path)[..., None]
+    rec = _read_idx(lbl_path)
+    if rec.ndim != 2 or rec.shape[1] < 1:
+        raise ValueError(f"{lbl_path}: expected (N, k>=1) label records, "
+                         f"got {rec.shape}.")
+    y = np.ascontiguousarray(rec[:, 0]).astype(np.int32)
+    return ArrayDataset(np.ascontiguousarray(x), y, num_classes=10,
+                        name="QMNIST")
+
+
+# --- USPS (bzip2-compressed libsvm text lines, 16x16 grayscale) --------------
+
+_USPS_URL = "https://ml.cs.tsinghua.edu.cn/~chenxi/dataset/"
+
+
+def load_usps(data_dir: str, train: bool, download: bool = True) -> ArrayDataset:
+    """USPS digits: each bz2 line is ``label idx:val ...`` with 256 values
+    in [-1, 1]; torchvision maps them to uint8 via (v+1)/2*255 and labels
+    to 0-based (datasets/usps.py)."""
+    import bz2
+
+    fname = "usps.bz2" if train else "usps.t.bz2"
+    path = os.path.join(data_dir, fname)
+    if not os.path.exists(path):
+        if not download:
+            raise FileNotFoundError(f"USPS not found at {path}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "USPS.lock")):
+            if not os.path.exists(path):
+                print(f"Downloading {_USPS_URL}{fname} -> {path}")
+                urllib.request.urlretrieve(_USPS_URL + fname, path + ".part")
+                os.replace(path + ".part", path)
+    xs, ys = [], []
+    with bz2.open(path, "rt") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            ys.append(int(float(parts[0])) - 1)
+            vals = np.zeros(256, np.float32)
+            for tok in parts[1:]:
+                idx, val = tok.split(":")
+                vals[int(idx) - 1] = float(val)  # libsvm indices are 1-based
+            xs.append(vals)
+    x = np.stack(xs).reshape(-1, 16, 16, 1)
+    x = ((x + 1.0) / 2.0 * 255.0).astype(np.uint8)
+    y = np.asarray(ys, np.int32)
+    return ArrayDataset(np.ascontiguousarray(x), y, num_classes=10,
+                        name="USPS")
 
 
 # --- SVHN (cropped digits, .mat) --------------------------------------------
@@ -438,6 +552,9 @@ _LOADERS = {
     "CIFAR100": load_cifar100,
     "MNIST": load_mnist,
     "FashionMNIST": load_fashion_mnist,
+    "KMNIST": load_kmnist,
+    "QMNIST": load_qmnist,
+    "USPS": load_usps,
     "SVHN": load_svhn,
     "STL10": load_stl10,
     "Synthetic": load_synthetic,

@@ -129,6 +129,75 @@ def test_fashion_mnist_dispatch(tmp_path):
     assert ds.name == "FashionMNIST" and ds.data_shape == (28, 28, 1)
 
 
+def test_kmnist_dispatch(tmp_path):
+    raw = _write_mnist_like(tmp_path, "KMNIST")
+    ds = get_dataset("KMNIST", str(tmp_path), train=False, download=False)
+    assert ds.name == "KMNIST" and ds.data_shape == (28, 28, 1)
+    np.testing.assert_array_equal(ds.x[..., 0], raw["t10k"][0])
+
+
+def _write_idx_int(path, arr):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(bytes([0, 0, 0x0C, arr.ndim]))
+        for d in arr.shape:
+            f.write(struct.pack(">i", d))
+        f.write(arr.astype(">i4").tobytes())
+
+
+def test_qmnist_native_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_qmnist
+
+    raw = tmp_path / "QMNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    out = {}
+    for split, n in [("qmnist-train", 11), ("qmnist-test", 6)]:
+        x = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
+        # (N, 8) int32 records; class is column 0 (torchvision compat target)
+        rec = rng.integers(0, 60000, size=(n, 8)).astype(np.int64)
+        rec[:, 0] = rng.integers(0, 10, size=(n,))
+        _write_idx(raw / f"{split}-images-idx3-ubyte", x)
+        _write_idx_int(raw / f"{split}-labels-idx2-int", rec)
+        out[split] = (x, rec)
+    tr = load_qmnist(str(tmp_path), train=True, download=False)
+    te = load_qmnist(str(tmp_path), train=False, download=False)
+    assert tr.x.shape == (11, 28, 28, 1) and te.x.shape == (6, 28, 28, 1)
+    np.testing.assert_array_equal(tr.x[..., 0], out["qmnist-train"][0])
+    np.testing.assert_array_equal(te.y, out["qmnist-test"][1][:, 0])
+    assert te.y.dtype == np.int32 and tr.num_classes == 10
+
+
+def test_usps_native_parsing(tmp_path):
+    import bz2
+
+    from pytorch_ddp_resnet_tpu.data.datasets import load_usps
+
+    rng = np.random.default_rng(9)
+    n = 7
+    vals = rng.uniform(-1, 1, size=(n, 256)).astype(np.float32)
+    labels = rng.integers(1, 11, size=(n,))  # libsvm labels are 1..10
+    lines = []
+    for i in range(n):
+        toks = [f"{labels[i]}"] + [
+            f"{j + 1}:{vals[i, j]:.6f}" for j in range(256)]
+        lines.append(" ".join(toks))
+    with bz2.open(tmp_path / "usps.bz2", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    ds = load_usps(str(tmp_path), train=True, download=False)
+    assert ds.x.shape == (n, 16, 16, 1) and ds.num_classes == 10
+    np.testing.assert_array_equal(ds.y, labels - 1)
+    want = ((np.round(vals, 6).reshape(n, 16, 16, 1) + 1) / 2 * 255
+            ).astype(np.uint8)
+    np.testing.assert_array_equal(ds.x, want)
+    # dispatch + missing-test-file behavior
+    ds2 = get_dataset("USPS", str(tmp_path), train=True, download=False)
+    assert ds2.name == "USPS"
+    with pytest.raises(FileNotFoundError):
+        load_usps(str(tmp_path), train=False, download=False)
+
+
 def test_svhn_native_parsing(tmp_path):
     from scipy.io import savemat
 
