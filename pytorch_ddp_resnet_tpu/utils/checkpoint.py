@@ -205,15 +205,25 @@ def maybe_load_checkpoint(
 def _manifest_resume_step(checkpoint_dir: str,
                           kinds: List[str]) -> Optional[int]:
     """Newest manifested step covering every requested kind whose files all
-    still exist; None when no manifest qualifies (pre-manifest dirs, or a
-    changed kind set — the common-step fallback handles those)."""
+    still exist — and, when the manifest records file sizes, still have
+    exactly those sizes (a truncated-but-present kind file scans back to
+    the previous complete save instead of failing np.load at resume).
+    None when no manifest qualifies (pre-manifest dirs, or a changed kind
+    set — the common-step fallback handles those)."""
     if not os.path.isdir(checkpoint_dir):
         return None
-    for step, manifest_kinds in _read_manifests(checkpoint_dir):
+    for step, manifest_kinds, sizes in _read_manifests(checkpoint_dir):
         if not set(kinds) <= set(manifest_kinds):
             continue
-        if all(os.path.exists(os.path.join(
-                checkpoint_dir, _format_name(k, step))) for k in kinds):
+
+        def intact(kind):
+            path = os.path.join(checkpoint_dir, _format_name(kind, step))
+            if not os.path.exists(path):
+                return False
+            want = sizes.get(kind)
+            return want is None or os.path.getsize(path) == want
+
+        if all(intact(k) for k in kinds):
             return step
     return None
 
@@ -285,17 +295,31 @@ def maybe_load_checkpoints(
 
 def _write_manifest(checkpoint_dir: str, steps: int, kinds: List[str],
                     keep: int = 5) -> None:
+    # record each kind file's byte size so resume can detect a
+    # truncated-but-present file and scan back (sizes are free: the kind
+    # files were just written by this process)
+    sizes = {}
+    for k in kinds:
+        try:
+            sizes[k] = os.path.getsize(
+                os.path.join(checkpoint_dir, _format_name(k, steps)))
+        except OSError:
+            pass
     path = os.path.join(
         checkpoint_dir, _format_name(MANIFEST_KIND, steps, MANIFEST_SUFFIX))
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
-        json.dump({"steps": int(steps), "kinds": sorted(kinds)}, f)
+        json.dump({"steps": int(steps), "kinds": sorted(kinds),
+                   "sizes": sizes}, f)
     os.replace(tmp, path)
     _clean(checkpoint_dir, MANIFEST_KIND, n=keep)
 
 
-def _read_manifests(checkpoint_dir: str) -> List[Tuple[int, List[str]]]:
-    """(steps, kinds) per manifest, newest first; unreadable ones skipped."""
+def _read_manifests(
+        checkpoint_dir: str) -> List[Tuple[int, List[str], Dict[str, int]]]:
+    """(steps, kinds, sizes) per manifest, newest first; unreadable ones
+    skipped. ``sizes`` is empty for manifests written before sizes were
+    recorded (they then verify by existence only)."""
     out = []
     for step in reversed(_latest_n_checkpoint_steps(
             checkpoint_dir, n=1_000_000, kind=MANIFEST_KIND)):
@@ -304,7 +328,8 @@ def _read_manifests(checkpoint_dir: str) -> List[Tuple[int, List[str]]]:
         try:
             with open(path) as f:
                 data = json.load(f)
-            out.append((step, list(data["kinds"])))
+            out.append((step, list(data["kinds"]),
+                        dict(data.get("sizes", {}))))
         except (OSError, ValueError, KeyError):
             continue  # torn/corrupted manifest: ignore, older ones cover
     return out

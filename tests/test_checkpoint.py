@@ -308,6 +308,42 @@ def test_manifest_corrupted_is_skipped(tmp_path):
         d, {"a": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 2
 
 
+def test_manifest_truncated_kind_file_scans_back(tmp_path):
+    """Manifests record file sizes; a truncated-but-present kind file (fs
+    corruption — atomic renames rule out crash truncation) must make
+    resume scan back to the previous intact manifested step instead of
+    failing np.load."""
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    b = ckpt.PytreeCheckpointable(_tree(2.0))
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=3)
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=7)
+    path = os.path.join(d, "b_7.ckpt")
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size // 2)
+    target = {"a": ckpt.PytreeCheckpointable(_tree()),
+              "b": ckpt.PytreeCheckpointable(_tree())}
+    assert ckpt.maybe_load_checkpoints(d, target, verbose=False) == 3
+
+
+def test_manifest_without_sizes_still_resumes(tmp_path):
+    """Pre-size manifests (older saves) verify by existence only."""
+    import json as _json
+
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    ckpt.save_checkpoints(d, {"a": a}, steps=4)
+    mpath = os.path.join(d, "manifest_4.json")
+    with open(mpath) as f:
+        data = _json.load(f)
+    del data["sizes"]
+    with open(mpath, "w") as f:
+        _json.dump(data, f)
+    assert ckpt.maybe_load_checkpoints(
+        d, {"a": ckpt.PytreeCheckpointable(_tree())}, verbose=False) == 4
+
+
 def test_manifest_kind_reserved(tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         ckpt.save_checkpoint(str(tmp_path), "manifest",
