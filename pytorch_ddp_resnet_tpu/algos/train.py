@@ -175,6 +175,9 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         # less saved-activation HBM traffic; wins at large batch (see
         # models/blocks.py measurements)
         remat=config.get("remat", False),
+        # opt-in lane-packed Pallas kernels for stride-1 3x3 convs
+        # (ops/pallas/conv.py; benchmarked in BASELINE.md)
+        pallas_conv=config.get("use_pallas_conv", False),
     )
     optimizer = get_optimizer(
         config.get("optimizer_cls_name"), config.get("optimizer_args"))
@@ -290,6 +293,41 @@ def _save_all(checkpoint_dir, strategy, train_state, scheduler, steps,
         steps=steps)
 
 
+def _auto_steps_per_dispatch(verbose: bool = True) -> int:
+    """Pick a dispatch chunk length from the measured host<->device
+    round-trip latency (tiny jitted op + forced value readback, the same
+    sync the step loop pays once per dispatch). Thresholds assume an
+    O(10ms) training step: <1ms RTT (PCIe-attached) needs no chunking;
+    a tunneled host at 4-12ms RTT amortizes well at K=8-16. Under
+    ``jax.distributed`` every process must compile the same K, so the
+    coordinator's choice is broadcast."""
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((), jnp.float32)
+    float(f(x))  # warm the compile outside the timed loop
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+        _ = float(x)  # forced readback (block_until_ready can return early)
+    rtt_ms = (time.perf_counter() - t0) / n * 1e3
+    if rtt_ms < 1.0:
+        k = 1
+    elif rtt_ms < 4.0:
+        k = 4
+    elif rtt_ms < 10.0:
+        k = 8
+    else:
+        k = 16
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        k = int(multihost_utils.broadcast_one_to_all(jnp.int32(k)))
+    if verbose:
+        print(f"steps_per_dispatch: auto -> {k} "
+              f"(dispatch round-trip {rtt_ms:.2f} ms)")
+    return k
+
+
 def training_loop(
     config,
     learning_system: Dict[str, Any],
@@ -359,7 +397,15 @@ def training_loop(
     # triggers that fire mid-chunk save the chunk-end state at the chunk-end
     # step (align `frequency` to a multiple of K for exact parity), and
     # (b) profile_steps forces K=1 for per-step trace boundaries.
-    steps_per_dispatch = int(config.get("steps_per_dispatch", 1))
+    # `steps_per_dispatch: auto` probes the dispatch round-trip latency and
+    # picks K from it — on a PCIe-attached host the probe lands at K=1
+    # (chunking buys nothing), on a high-RTT tunneled host at K=8-16
+    # (measured: this tunnel's RTT varies 4-12ms day to day, ROADMAP #3).
+    spd_cfg = config.get("steps_per_dispatch", 1)
+    if isinstance(spd_cfg, str) and spd_cfg.lower() == "auto":
+        steps_per_dispatch = _auto_steps_per_dispatch(verbose)
+    else:
+        steps_per_dispatch = int(spd_cfg)
     if steps_per_dispatch > 1 and (sync_batch_loss or profile_steps):
         if verbose:
             print("steps_per_dispatch: disabled (a batch-unit loss consumer "

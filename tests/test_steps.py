@@ -257,3 +257,43 @@ def test_steps_per_dispatch_is_equivalent():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6),
         p1, p4)
+
+
+def test_steps_per_dispatch_auto():
+    """`steps_per_dispatch: auto` probes dispatch RTT, picks a valid K, and
+    the training loop runs with it (ROADMAP #3: auto-K removes per-host
+    hand tuning between PCIe-attached and tunneled TPU hosts)."""
+    import os
+    import tempfile
+
+    from pytorch_ddp_resnet_tpu.algos.train import (
+        _auto_steps_per_dispatch, setup, training_loop)
+    from pytorch_ddp_resnet_tpu.parallel.mesh import make_mesh
+
+    k = _auto_steps_per_dispatch(verbose=False)
+    assert k in (1, 4, 8, 16)
+
+    cfg = {
+        "dataset_cls_name": "Synthetic",
+        "data_aug_train": {"ToTensorTransform": {}},
+        "data_aug_test": {"ToTensorTransform": {}},
+        "architecture_spec": "c3,8,3,1,1 n a r1 ap32,1,0 fc8,10",
+        "preact": False, "use_proj": False, "dropout_prob": 0.0,
+        "compute_dtype": "float32",
+        "max_steps": 6, "batch_size": 16, "num_microbatches": 1,
+        "optimizer_cls_name": "SGD",
+        "optimizer_args": {"lr": 0.1, "momentum": 0.9},
+        "scheduler_cls_name": "MultiStepLR",
+        "scheduler_step_unit": "batch",
+        "scheduler_args": {"milestones": [4], "gamma": 0.1},
+        "checkpoint_strategy_cls_name": "FrequencyCheckpointStrategy",
+        "checkpoint_strategy_args": {"unit": "epoch", "frequency": 1},
+        "steps_per_dispatch": "auto",
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg["checkpoint_dir"] = os.path.join(tmp, "ck")
+        cfg["log_dir"] = os.path.join(tmp, "tb")
+        cfg["data_dir"] = tmp
+        ls = setup(cfg, mesh=make_mesh(num_devices=2), verbose=False)
+        out = training_loop(cfg, ls, verbose=False)
+        assert out["global_step"] == 6
