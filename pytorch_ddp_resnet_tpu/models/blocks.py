@@ -127,6 +127,7 @@ class ResidualBlock(_BlockBase):
     remat: bool = False
     out_channels_override: Optional[int] = None
     stride_override: Optional[int] = None
+    pallas_conv: bool = False
 
     @property
     def in_channels(self) -> int:
@@ -152,9 +153,11 @@ class ResidualBlock(_BlockBase):
         cin, cout, cd = self.in_channels, self.out_channels, self.compute_dtype
         layers = [
             ("conv1", Conv(cin, cout, 3, stride=self.stride,
-                           padding=1, use_bias=False, compute_dtype=cd), "main"),
+                           padding=1, use_bias=False, compute_dtype=cd,
+                           pallas=self.pallas_conv), "main"),
             ("conv2", Conv(cout, cout, 3, stride=1, padding=1,
-                           use_bias=False, compute_dtype=cd), "main"),
+                           use_bias=False, compute_dtype=cd,
+                           pallas=self.pallas_conv), "main"),
             ("norm1", BatchNorm(cin if self.preact else cout, compute_dtype=cd),
              "main" if self.preact else "post1"),
             ("norm2", BatchNorm(cout, compute_dtype=cd), "post2"),
@@ -229,6 +232,7 @@ class BottleneckResidualBlock(_BlockBase):
     out_channels_override: Optional[int] = None
     width_override: Optional[int] = None
     stride_override: Optional[int] = None
+    pallas_conv: bool = False
 
     @property
     def in_channels(self) -> int:
@@ -262,7 +266,8 @@ class BottleneckResidualBlock(_BlockBase):
         layers = [
             ("conv1", Conv(cin, cb, 1, use_bias=False, compute_dtype=cd), "main"),
             ("conv2", Conv(cb, cb, 3, stride=self.stride,
-                           padding=1, use_bias=False, compute_dtype=cd), "main"),
+                           padding=1, use_bias=False, compute_dtype=cd,
+                           pallas=self.pallas_conv), "main"),
             ("conv3", Conv(cb, cout, 1, use_bias=False, compute_dtype=cd), "main"),
             ("norm1", BatchNorm(cin if self.preact else cb, compute_dtype=cd), "m"),
             ("norm2", BatchNorm(cb, compute_dtype=cd), "m"),

@@ -71,6 +71,10 @@ class Conv(Layer):
     use_bias: bool = True
     kernel_init: str = "torch_default"  # or "kaiming_normal"
     compute_dtype: Any = jnp.bfloat16
+    # Opt-in lane-packed Pallas kernel (ops/pallas/conv.py) for the
+    # stride-1 3x3 SAME shapes; config flag `use_pallas_conv`. Non-eligible
+    # shapes (stride-2 transitions, 1x1 projections) always use lax.conv.
+    pallas: bool = False
 
     def init(self, rng, in_shape: Shape):
         h, w, c = in_shape
@@ -102,13 +106,21 @@ class Conv(Layer):
         # in fp32 on the MXU natively. (preferred_element_type=f32 would be
         # equivalent forward but breaks the conv transpose rule's dtype
         # matching in the backward pass.)
-        y = lax.conv_general_dilated(
-            x.astype(cd),
-            params["w"].astype(cd),
-            window_strides=(s, s),
-            padding=[(p, p), (p, p)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.pallas and self.kernel_size == 3 and s == 1 and p == 1:
+            from pytorch_ddp_resnet_tpu.ops.pallas.conv import conv3x3_same
+
+            # Mosaic targets TPU; elsewhere (CPU tests) run interpreted —
+            # same convention as the fused augment kernel (algos/train.py).
+            y = conv3x3_same(x.astype(cd), params["w"].astype(cd),
+                             jax.default_backend() != "tpu")
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(cd),
+                params["w"].astype(cd),
+                window_strides=(s, s),
+                padding=[(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             y = y + params["b"].astype(cd)
         return y, state

@@ -104,6 +104,7 @@ def parse_spec(
     dropout_prob: float,
     compute_dtype: Any = jnp.bfloat16,
     remat: bool = False,
+    pallas_conv: bool = False,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
     tokens = architecture_spec.split()
@@ -147,7 +148,7 @@ def parse_spec(
                     downsample=downsample if ell == 0 else False,
                     preact=preact, use_proj=use_proj,
                     dropout_prob=dropout_prob, compute_dtype=cd,
-                    remat=remat,
+                    remat=remat, pallas_conv=pallas_conv,
                     **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
@@ -209,6 +210,7 @@ class ResNet:
         dropout_prob: float,
         compute_dtype: Any = jnp.bfloat16,
         remat: bool = False,
+        pallas_conv: bool = False,
     ):
         self.architecture_spec = architecture_spec
         self.preact = preact
@@ -216,9 +218,10 @@ class ResNet:
         self.dropout_prob = dropout_prob
         self.compute_dtype = compute_dtype
         self.remat = remat
+        self.pallas_conv = pallas_conv
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
-            remat=remat,
+            remat=remat, pallas_conv=pallas_conv,
         )
 
     def init(self, rng, input_shape: Shape):

@@ -90,10 +90,12 @@ def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
     for taps in groups:
         for j, (dh, dw) in enumerate(taps):
             shift = (dh - 1) * w_img + (dw - 1)
-            # patch[p] = x[p + shift]  (source h+dh-1, w+dw-1 for output p);
-            # roll is circular, so the negative shift is taken mod tile
-            # (pltpu.roll requires a non-negative amount)
-            rolled = pltpu.roll(x_ref[:], (-shift) % tile, axis=1)
+            # patch[p] = x[p + shift]  (source h+dh-1, w+dw-1 for output p).
+            # Static jnp.roll (slice+concat), NOT pltpu.roll: the latter
+            # lowers to tpu.dynamic_rotate, unimplemented for bf16 on the
+            # real v5e backend (probed 2026-08-17; all of jnp.roll/concat/
+            # f32-rotate compile and are exact).
+            rolled = jnp.roll(x_ref[:], -shift, axis=1)
             src_h = hh + (dh - 1)
             src_w = ww + (dw - 1)
             mask = ((src_h >= 0) & (src_h < h)
@@ -189,7 +191,7 @@ def _wgrad_kernel(x_ref, dy_ref, out_ref, patch_ref, *, cin, h, w_img,
         if j < len(taps):
             dh, dw = taps[j]
             shift = (dh - 1) * w_img + (dw - 1)
-            rolled = pltpu.roll(x_ref[:], (-shift) % tile, axis=1)
+            rolled = jnp.roll(x_ref[:], -shift, axis=1)  # see _conv_kernel
             src_h = hh + (dh - 1)
             src_w = ww + (dw - 1)
             mask = ((src_h >= 0) & (src_h < h)
@@ -290,3 +292,37 @@ def conv3x3_nhwc(x_nhwc: jax.Array, w_hwio: jax.Array,
     y = conv3x3_lanes(x_cs, pack_weights(w_hwio), h=h, w_img=w,
                       interpret=interpret)
     return lanes_to_nhwc(y, b, h, w)
+
+
+# --- differentiable model-facing entry point ---------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_same(x_nhwc: jax.Array, w_hwio: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """Differentiable stride-1 SAME 3x3 conv, NHWC x HWIO -> NHWC, with all
+    three derivatives on the lane-packed Pallas kernels (fwd + dgrad via
+    conv3x3_lanes, wgrad via conv3x3_wgrad_lanes). Drop-in for the eligible
+    lax.conv_general_dilated calls in models/layers.py Conv.apply; gated by
+    the ``use_pallas_conv`` config flag."""
+    return conv3x3_nhwc(x_nhwc, w_hwio, interpret=interpret)
+
+
+def _conv3x3_same_fwd(x_nhwc, w_hwio, interpret):
+    b, h, w, _ = x_nhwc.shape
+    x_cs, _, _ = nhwc_to_lanes(x_nhwc)
+    y = conv3x3_lanes(x_cs, pack_weights(w_hwio), h=h, w_img=w,
+                      interpret=interpret)
+    # save the lane-layout activations: both backward kernels consume them
+    return lanes_to_nhwc(y, b, h, w), (x_cs, w_hwio, (b, h, w))
+
+
+def _conv3x3_same_bwd(interpret, res, dy_nhwc):
+    x_cs, w_hwio, (b, h, w) = res
+    dy_cs, _, _ = nhwc_to_lanes(dy_nhwc)
+    dx_cs = conv3x3_lanes(dy_cs, pack_weights_dgrad(w_hwio), h=h, w_img=w,
+                          interpret=interpret)
+    dw = conv3x3_wgrad_lanes(x_cs, dy_cs, h=h, w_img=w, interpret=interpret)
+    return lanes_to_nhwc(dx_cs, b, h, w), dw.astype(w_hwio.dtype)
+
+
+conv3x3_same.defvjp(_conv3x3_same_fwd, _conv3x3_same_bwd)

@@ -111,3 +111,62 @@ def test_wgrad_matches_lax_vjp(cin, cout):
     dw = conv3x3_wgrad_lanes(x_cs, dy_cs, h=h, w_img=w, interpret=True)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-4, atol=2e-4)
+
+
+def test_conv3x3_same_custom_vjp_matches_autodiff():
+    """The differentiable entry point (custom_vjp over the fwd/dgrad/wgrad
+    kernels) must match lax.conv's value AND both gradients."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import conv3x3_same
+
+    rng = np.random.default_rng(5)
+    b, h, w, cin, cout = 2, 8, 16, 32, 16
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(b, h, w, cout)), jnp.float32)
+
+    def loss_pallas(x, w):
+        return jnp.vdot(conv3x3_same(x, w, True), dy)
+
+    def loss_lax(x, w):
+        return jnp.vdot(_lax_conv(x, w), dy)
+
+    (gx, gw) = jax.grad(loss_pallas, argnums=(0, 1))(x, wts)
+    (rx, rw) = jax.grad(loss_lax, argnums=(0, 1))(x, wts)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_model_pallas_conv_flag_equivalence():
+    """A model built with use_pallas_conv routes its stride-1 3x3 convs
+    through the kernel and reproduces the lax.conv model's loss and grads
+    (fp32, CPU interpret mode)."""
+    from pytorch_ddp_resnet_tpu.models.resnet import ResNet
+
+    spec = "c3,16,3,1,1 n a r1 ap8,1,0 fc16,4"
+    kwargs = dict(architecture_spec=spec, preact=False, use_proj=False,
+                  dropout_prob=0.0, compute_dtype=jnp.float32)
+    m_ref = ResNet(**kwargs)
+    m_pal = ResNet(**kwargs, pallas_conv=True)
+    key = jax.random.PRNGKey(0)
+    params, state = m_ref.init(key, (8, 8, 3))
+    params2, state2 = m_pal.init(key, (8, 8, 3))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, params, params2)
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(16, 8, 8, 3)),
+                    jnp.float32)
+    y = jnp.asarray(np.arange(16) % 4)
+
+    def loss(model, p, s):
+        logits, _ = model.apply(p, s, x, train=True, rng=jax.random.PRNGKey(2))
+        onehot = jax.nn.one_hot(y, 4)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(m_ref, p, state))(params)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss(m_pal, p, state2))(params)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_pal, g_ref)

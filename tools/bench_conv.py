@@ -2,15 +2,26 @@
 on the three WRN-28-10 b256 stage shapes (VERDICT round 2, next-round #1
 'Done' criterion). Run on the real TPU:
 
-    PYTHONPATH=/root/repo JAX_COMPILATION_CACHE_DIR=/root/.jax_tpu_cache \
-        python tools/bench_conv.py [--batch 256] [--iters 50]
+    PYTHONPATH="/root/repo:$PYTHONPATH" \
+        JAX_COMPILATION_CACHE_DIR=/root/.jax_tpu_cache \
+        python tools/bench_conv.py [--batch 256] [--inner 24] [--outer 8]
 
-Prints per-shape: XLA NHWC conv time, pure Pallas kernel time (operands
-already in the [C, B*H*W] lane layout — the steady-state cost if the model
-adopted a C-major layout), and Pallas including NHWC<->lane transposes
-(the bolt-on integration cost). The padded-MXU cost model predicts
-XLA/Pallas utilization 62.5%/93.75% (160ch), 83%/97.8% (320ch),
-100%/100% (640ch); see ops/pallas/conv.py.
+Timing methodology (tunneled-TPU aware): each candidate op is applied
+``inner`` times with a data dependency INSIDE one jitted dispatch, and
+host-side timing covers ``outer`` such dispatches with one forced value
+readback each. The measured per-dispatch round-trip latency (an empty
+jitted op, ~4-12 ms on this tunnel) is subtracted before dividing by
+``inner`` — per-iteration readbacks would otherwise swamp the ~1-2 ms
+kernels. Weights are scaled by (9*Cin)^-1/2 so chained outputs keep unit
+variance (no overflow at any chain length).
+
+Per shape, prints: XLA NHWC conv, pure Pallas kernel (operands already in
+the [C, B*H*W] lane layout — the steady-state cost if the model adopted a
+C-major layout), Pallas including NHWC<->lane transposes (the bolt-on
+integration cost, = the model's `use_pallas_conv` path), and the same
+trio for dgrad; plus wgrad (XLA vs Pallas). The padded-MXU cost model
+predicts XLA/Pallas lane utilization 62.5%/93.75% (160ch), 83%/97.8%
+(320ch), 100%/100% (640ch); see ops/pallas/conv.py.
 """
 
 from __future__ import annotations
@@ -43,85 +54,134 @@ STAGES = [  # (H, W, C) of the three equal-FLOP WRN-28-10 stage shapes
 ]
 
 
-def _time(fn, *args, iters=50, warmup=5):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
+def _readback(x):
+    # force full execution: block_until_ready can return early on the
+    # tunneled backend (verify skill gotchas)
+    return float(jnp.ravel(x)[0])
+
+
+def _measure_rtt():
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((), jnp.float32)
+    _readback(f(x))
+    ts = []
+    for _ in range(10):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        # force a value readback: block_until_ready can return early on the
-        # tunneled backend (verify skill gotchas)
-        _ = float(jnp.ravel(out if not isinstance(out, tuple) else out[0])[0])
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+        _readback(f(x))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def _time_chain(fn, args, inner, outer, rtt):
+    """Median per-op seconds: `fn` must apply the op `inner` times with a
+    data dependency and return one array."""
+    jfn = jax.jit(fn)
+    _readback(jfn(*args))  # compile + warm
+    ts = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        _readback(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    per_dispatch = statistics.median(ts)
+    return max(per_dispatch - rtt, 1e-9) / inner
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--inner", type=int, default=24)
+    ap.add_argument("--outer", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
-    b = args.batch
+    b, inner, outer = args.batch, args.inner, args.outer
 
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
+    rtt = _measure_rtt()
+    print(f"dispatch rtt: {rtt * 1e3:.2f} ms", flush=True)
+
     rng = np.random.default_rng(0)
     results = []
     for h, w, c in STAGES:
+        scale = (9 * c) ** -0.5  # unit-variance chaining
         x = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
-        wts = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, dtype)
+        wts = jnp.asarray(rng.normal(size=(3, 3, c, c)) * scale, dtype)
+        dy = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
 
-        lax_fn = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(dtype))
-        t_lax = _time(lax_fn, x, wts, iters=args.iters)
+        def lax_conv(x_, w_):
+            return jax.lax.conv_general_dilated(
+                x_, w_, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # --- forward ---
+        def xla_chain(x_, w_):
+            for _ in range(inner):
+                x_ = lax_conv(x_, w_)
+            return x_
+        t_lax = _time_chain(xla_chain, (x, wts), inner, outer, rtt)
 
         x_cs, _, _ = nhwc_to_lanes(x)
         x_cs = jax.device_put(x_cs)
         wp = jax.device_put(pack_weights(wts))
-        pallas_pure = jax.jit(
-            lambda xc, wp: conv3x3_lanes(xc, wp, h=h, w_img=w))
-        t_pure = _time(pallas_pure, x_cs, wp, iters=args.iters)
 
-        pallas_wrap = jax.jit(lambda x, w: conv3x3_nhwc(x, w))
-        t_wrap = _time(pallas_wrap, x, wts, iters=args.iters)
+        def pallas_pure_chain(xc, wp_):
+            for _ in range(inner):
+                xc = conv3x3_lanes(xc, wp_, h=h, w_img=w)
+            return xc
+        t_pure = _time_chain(pallas_pure_chain, (x_cs, wp), inner, outer, rtt)
 
-        # backward shapes (dgrad reuses the forward kernel; wgrad is its
-        # own kernel). XLA references: the conv VJPs.
-        dy = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
-        dy_cs, _, _ = nhwc_to_lanes(dy)
-        dy_cs = jax.device_put(dy_cs)
+        def pallas_nhwc_chain(x_, w_):
+            for _ in range(inner):
+                x_ = conv3x3_nhwc(x_, w_)
+            return x_
+        t_wrap = _time_chain(pallas_nhwc_chain, (x, wts), inner, outer, rtt)
+
+        # --- input gradient (dgrad) ---
+        def xla_dgrad_chain(dy_, w_):
+            g = jax.vjp(lambda x_: lax_conv(x_, w_), x)[1]
+            for _ in range(inner):
+                dy_ = g(dy_)[0]
+            return dy_
+        t_lax_dg = _time_chain(xla_dgrad_chain, (dy, wts), inner, outer, rtt)
+
         wdg = jax.device_put(pack_weights_dgrad(wts))
 
-        lax_dgrad = jax.jit(lambda dy, w: jax.vjp(
-            lambda x_: jax.lax.conv_general_dilated(
-                x_, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(dtype), x)[1](dy)[0])
-        t_lax_dg = _time(lax_dgrad, dy, wts, iters=args.iters)
-        pallas_dg = jax.jit(
-            lambda dyc, wd: conv3x3_lanes(dyc, wd, h=h, w_img=w))
-        t_pal_dg = _time(pallas_dg, dy_cs, wdg, iters=args.iters)
+        def pallas_dgrad_chain(dyc, wd):
+            for _ in range(inner):
+                dyc = conv3x3_lanes(dyc, wd, h=h, w_img=w)
+            return dyc
+        dy_cs, _, _ = nhwc_to_lanes(dy)
+        dy_cs = jax.device_put(dy_cs)
+        t_pal_dg = _time_chain(
+            pallas_dgrad_chain, (dy_cs, wdg), inner, outer, rtt)
 
-        lax_wgrad = jax.jit(lambda x_, dy_: jax.vjp(
-            lambda w_: jax.lax.conv_general_dilated(
-                x_, w_, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(dtype),
-            wts)[1](dy_)[0])
-        t_lax_wg = _time(lax_wgrad, x, dy, iters=args.iters)
-        pallas_wg = jax.jit(
-            lambda xc, dyc: conv3x3_wgrad_lanes(xc, dyc, h=h, w_img=w))
-        t_pal_wg = _time(pallas_wg, x_cs, dy_cs, iters=args.iters)
+        # --- weight gradient (wgrad); output isn't chainable, so thread a
+        # scalar of each dW into the next dy to keep the dependency ---
+        def xla_wgrad_chain(x_, dy_):
+            g = jax.vjp(lambda w_: lax_conv(x_, w_), wts)[1]
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(inner):
+                dw = g(dy_)[0]
+                s = dw[0, 0, 0, 0].astype(jnp.float32)
+                acc = acc + s
+                dy_ = dy_ * (1 + 1e-6 * s).astype(dy_.dtype)
+            return acc
+        t_lax_wg = _time_chain(xla_wgrad_chain, (x, dy), inner, outer, rtt)
+
+        def pallas_wgrad_chain(xc, dyc):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(inner):
+                dw = conv3x3_wgrad_lanes(xc, dyc, h=h, w_img=w)
+                s = dw[0, 0, 0, 0].astype(jnp.float32)
+                acc = acc + s
+                dyc = dyc * (1 + 1e-6 * s).astype(dyc.dtype)
+            return acc
+        t_pal_wg = _time_chain(
+            pallas_wgrad_chain, (x_cs, dy_cs), inner, outer, rtt)
 
         # correctness spot check on-device (bf16 tolerance)
-        ref = np.asarray(lax_fn(x, wts), np.float32)
-        got = np.asarray(pallas_wrap(x, wts), np.float32)
+        ref = np.asarray(jax.jit(lax_conv)(x, wts), np.float32)
+        got = np.asarray(jax.jit(conv3x3_nhwc)(x, wts), np.float32)
         err = float(np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9))
 
         flops = 2 * b * h * w * 9 * c * c
