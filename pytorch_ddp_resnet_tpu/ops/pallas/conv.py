@@ -94,8 +94,11 @@ def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
             # Static jnp.roll (slice+concat), NOT pltpu.roll: the latter
             # lowers to tpu.dynamic_rotate, unimplemented for bf16 on the
             # real v5e backend (probed 2026-08-17; all of jnp.roll/concat/
-            # f32-rotate compile and are exact).
-            rolled = jnp.roll(x_ref[:], -shift, axis=1)
+            # f32-rotate compile and are exact). The center tap must skip
+            # the roll: a zero shift emits a zero-width slice that Mosaic
+            # rejects ("vector types must have positive constant sizes").
+            rolled = (x_ref[:] if shift == 0
+                      else jnp.roll(x_ref[:], -shift, axis=1))
             src_h = hh + (dh - 1)
             src_w = ww + (dw - 1)
             mask = ((src_h >= 0) & (src_h < h)
@@ -191,7 +194,8 @@ def _wgrad_kernel(x_ref, dy_ref, out_ref, patch_ref, *, cin, h, w_img,
         if j < len(taps):
             dh, dw = taps[j]
             shift = (dh - 1) * w_img + (dw - 1)
-            rolled = jnp.roll(x_ref[:], -shift, axis=1)  # see _conv_kernel
+            rolled = (x_ref[:] if shift == 0  # see _conv_kernel
+                      else jnp.roll(x_ref[:], -shift, axis=1))
             src_h = hh + (dh - 1)
             src_w = ww + (dw - 1)
             mask = ((src_h >= 0) & (src_h < h)
