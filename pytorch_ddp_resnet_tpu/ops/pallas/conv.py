@@ -61,11 +61,15 @@ def _tap_groups(cin: int):
     return [taps[i:i + g] for i in range(0, 9, g)]
 
 
-def _pick_tile(hw: int, n: int) -> int:
+def _pick_tile(hw: int, n: int, c: int = 160) -> int:
     """Lane-tile size: a multiple of the per-image spatial size (so image
     boundaries never cross a tile and rolls need no halo) that is also a
-    multiple of 128 and divides the total."""
-    target = 2048
+    multiple of 128 and divides the total. The target shrinks with the
+    channel count: VMEM holds x/out/patch-scratch/f32-acc tiles all
+    proportional to c*tile, and c=320 at tile 2048 blows the 16MB scoped
+    VMEM limit on v5e (measured: 19.2M > 16M); c*tile <= 160*2048 fits
+    with room."""
+    target = max(128, min(2048, (160 * 2048) // max(c, 1)))
     t = hw
     while t < target and (t * 2) <= n and n % (t * 2) == 0:
         t *= 2
@@ -142,7 +146,7 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
     hw = h * w_img
     if n % hw != 0:
         raise ValueError(f"N={n} not a multiple of H*W={hw}")
-    tile = _pick_tile(hw, n)
+    tile = _pick_tile(hw, n, max(cin, cout))
     groups = _tap_groups(cin)
     gmax = max(len(g) for g in groups)
     kernel = functools.partial(
@@ -239,7 +243,7 @@ def conv3x3_wgrad_lanes(x_cs: jax.Array, dy_cs: jax.Array, *, h: int,
     hw = h * w_img
     if n % hw != 0 or dy_cs.shape[1] != n:
         raise ValueError(f"bad shapes x={x_cs.shape} dy={dy_cs.shape}")
-    tile = _pick_tile(hw, n)
+    tile = _pick_tile(hw, n, max(cin, cout))
     groups = _tap_groups(cin)
     gmax = max(len(g) for g in groups)
     n_tiles = n // tile

@@ -92,9 +92,12 @@ def main():
     ap.add_argument("--inner", type=int, default=24)
     ap.add_argument("--outer", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--stages", type=str, default="0,1,2",
+                    help="comma-separated STAGES indices to run")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
     b, inner, outer = args.batch, args.inner, args.outer
+    stages = [STAGES[int(i)] for i in args.stages.split(",")]
 
     print(f"devices: {jax.devices()}", flush=True)
     rtt = _measure_rtt()
@@ -102,7 +105,7 @@ def main():
 
     rng = np.random.default_rng(0)
     results = []
-    for h, w, c in STAGES:
+    for h, w, c in stages:
         scale = (9 * c) ** -0.5  # unit-variance chaining
         x = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
         wts = jnp.asarray(rng.normal(size=(3, 3, c, c)) * scale, dtype)
@@ -155,16 +158,21 @@ def main():
         t_pal_dg = _time_chain(
             pallas_dgrad_chain, (dy_cs, wdg), inner, outer, rtt)
 
-        # --- weight gradient (wgrad); output isn't chainable, so thread a
-        # scalar of each dW into the next dy to keep the dependency ---
+        # --- weight gradient (wgrad); output isn't chainable, so feed the
+        # next dy through a NONLINEAR perturbation of each dW — wgrad is
+        # linear in dy, and a pure scalar-factor chain lets XLA collapse
+        # all iterations to one conv (measured 0.017ms "wgrad": artifact)
         def xla_wgrad_chain(x_, dy_):
             g = jax.vjp(lambda w_: lax_conv(x_, w_), wts)[1]
             acc = jnp.zeros((), jnp.float32)
             for _ in range(inner):
                 dw = g(dy_)[0]
-                s = dw[0, 0, 0, 0].astype(jnp.float32)
+                # consume ALL of dW: reading one element lets XLA slice the
+                # conv down to computing just that element (measured 0.000ms
+                # "wgrad": artifact)
+                s = jnp.sum(dw.astype(jnp.float32))
                 acc = acc + s
-                dy_ = dy_ * (1 + 1e-6 * s).astype(dy_.dtype)
+                dy_ = dy_ + (1e-9 * s).astype(dy_.dtype) * jnp.abs(dy_)
             return acc
         t_lax_wg = _time_chain(xla_wgrad_chain, (x, dy), inner, outer, rtt)
 
@@ -172,9 +180,9 @@ def main():
             acc = jnp.zeros((), jnp.float32)
             for _ in range(inner):
                 dw = conv3x3_wgrad_lanes(xc, dyc, h=h, w_img=w)
-                s = dw[0, 0, 0, 0].astype(jnp.float32)
+                s = jnp.sum(dw.astype(jnp.float32))
                 acc = acc + s
-                dyc = dyc * (1 + 1e-6 * s).astype(dyc.dtype)
+                dyc = dyc + (1e-9 * s).astype(dyc.dtype) * jnp.abs(dyc)
             return acc
         t_pal_wg = _time_chain(
             pallas_wgrad_chain, (x_cs, dy_cs), inner, outer, rtt)
