@@ -451,7 +451,7 @@ def radam(
         rho_t = rho_inf - 2.0 * tf * (b2 ** tf) / bc2
         rect = jnp.sqrt(jnp.clip(
             ((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
-            / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t), a_min=0.0))
+            / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t), min=0.0))
         rectified = rho_t > 5.0
 
         def upd(p, m_, v_):
