@@ -178,6 +178,10 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         # opt-in lane-packed Pallas kernels for stride-1 3x3 convs
         # (ops/pallas/conv.py; benchmarked in BASELINE.md)
         pallas_conv=config.get("use_pallas_conv", False),
+        # opt-in fused preact block-half kernels: norm+relu+dropout+conv
+        # (+residual, +next-BN stats) as one Pallas call
+        # (ops/pallas/fused_block.py; benchmarked in BASELINE.md)
+        fused_block=config.get("use_fused_block", False),
     )
     optimizer = get_optimizer(
         config.get("optimizer_cls_name"), config.get("optimizer_args"))

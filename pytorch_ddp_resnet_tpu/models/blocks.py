@@ -128,6 +128,14 @@ class ResidualBlock(_BlockBase):
     out_channels_override: Optional[int] = None
     stride_override: Optional[int] = None
     pallas_conv: bool = False
+    # Opt-in fused block-half kernels (ops/pallas/fused_block.py): the whole
+    # preact chain norm->relu->dropout->conv (+residual, +next-BN stats)
+    # runs as one Pallas call per conv, eliminating the elementwise HBM
+    # round trips measured as the per-stage step-time premium (BASELINE.md
+    # "Where the step time actually goes"). Config flag `use_fused_block`;
+    # applies to train-mode preact non-transforming blocks, other
+    # geometries fall back to the layer-by-layer path.
+    fused_block: bool = False
 
     @property
     def in_channels(self) -> int:
@@ -217,6 +225,109 @@ class ResidualBlock(_BlockBase):
             h = jnp.maximum(h, 0)
         return h
 
+    def _fused_eligible(self, x_shape, train: bool) -> bool:
+        """Static gate for the fused block-half path: train-mode preact
+        identity-shortcut geometry whose shapes satisfy the kernel's lane
+        tiling (whole images per 128-multiple tile; uint8 dropout bits need
+        channels % 32 on the sublane dim, bf16 alone needs % 16)."""
+        if not (self.fused_block and self.preact and train
+                and not self.transforms_shortcut):
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh)
+
+        thresh = dropout_thresh(self.dropout_prob)
+        if thresh <= 0:  # rate ~1 zeroes activations; fused path skips it
+            return False
+        b, h, w, c = x_shape
+        if c % (32 if thresh < 256 else 16) != 0:
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
+
+        try:
+            _pick_tile(h * w, b * h * w, c)
+        except ValueError:
+            return False
+        return True
+
+    def _apply_impl(self, params, state, x, *, train, rng=None):
+        if self._fused_eligible(x.shape, train):
+            return self._forward_fused(params, state, x, rng=rng)
+        return super()._apply_impl(params, state, x, train=train, rng=rng)
+
+    def _forward_fused(self, params, state, x, *, rng):
+        """The preact chain with both halves as fused Pallas calls.
+
+        Matches _forward's preact branch op-for-op (same normalize/relu/
+        quantized-dropout arithmetic, same bf16 rounding points, same
+        BatchNorm EMA updates — asserted in tests/test_fused_block.py); the
+        only sanctioned divergence is the dropout bit stream, drawn over the
+        lane layout's (C, B*H*W) shape instead of NHWC, so masks differ
+        sample-for-sample while the distribution and the per-layer
+        fold_in(rng, i) discipline stay identical.
+
+        Savings come from never materializing the normalized/dropped
+        activations in HBM and from reading the next BatchNorm's statistics
+        off the conv epilogue ([C] vectors) instead of re-reducing the
+        activation; conv1's epilogue feeds norm2 directly, and the residual
+        add rides conv2's epilogue.
+        """
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh,
+            fold_bn,
+            fused_half,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        b, h, w, c = x.shape
+        n = b * h * w
+        sub = self._sublayers()
+        idx = {name: i for i, (name, layer, _) in enumerate(sub)}
+        layers = {name: layer for name, layer, _ in sub}
+        new_state = dict(state)
+
+        def fold_and_ema(name, ssum, sssq):
+            # batch mean/var from the per-channel sums; EMA update mirrors
+            # BatchNorm.apply (biased normalize, unbiased running var)
+            bn = layers[name]
+            p, st = params[name], state[name]
+            mean = ssum / n
+            var = sssq / n - jnp.square(mean)
+            scale, shift = fold_bn(p["scale"], p["bias"], mean, var, bn.eps)
+            unbiased = var * (n / max(n - 1, 1))
+            m = bn.momentum
+            new_state[name] = {
+                "mean": (1 - m) * st["mean"] + m * mean,
+                "var": (1 - m) * st["var"] + m * unbiased,
+                "count": st["count"] + 1,
+            }
+            return scale, shift
+
+        thresh = dropout_thresh(self.dropout_prob)
+
+        def bits_for(name):
+            if thresh >= 256:
+                return None
+            return jax.random.bits(jax.random.fold_in(rng, idx[name]),
+                                   (c, n), dtype=jnp.uint8)
+
+        cd = self.compute_dtype
+        x_cs = jnp.transpose(x.astype(cd), (3, 0, 1, 2)).reshape(c, n)
+        xf = x_cs.astype(jnp.float32)
+        s1, t1 = fold_and_ema("norm1", jnp.sum(xf, axis=1),
+                              jnp.sum(jnp.square(xf), axis=1))
+        z_cs, zsum, zssq = fused_half(
+            x_cs, params["conv1"]["w"], s1, t1, bits_for("drop1"), None,
+            dropout_rate=self.dropout_prob, h=h, w_img=w,
+            interpret=interpret)
+        s2, t2 = fold_and_ema("norm2", zsum, zssq)
+        y_cs, _, _ = fused_half(
+            z_cs, params["conv2"]["w"], s2, t2, bits_for("drop2"), x_cs,
+            dropout_rate=self.dropout_prob, h=h, w_img=w,
+            interpret=interpret)
+        y = jnp.transpose(y_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+        return y, new_state
+
 
 @dataclass(frozen=True)
 class BottleneckResidualBlock(_BlockBase):
@@ -233,6 +344,10 @@ class BottleneckResidualBlock(_BlockBase):
     width_override: Optional[int] = None
     stride_override: Optional[int] = None
     pallas_conv: bool = False
+    # Accepted for spec-builder uniformity; the fused block-half path is
+    # implemented for the basic preact trunk (where the measured win is) —
+    # bottleneck blocks always take the layer-by-layer path.
+    fused_block: bool = False
 
     @property
     def in_channels(self) -> int:

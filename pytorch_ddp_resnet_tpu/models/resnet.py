@@ -105,6 +105,7 @@ def parse_spec(
     compute_dtype: Any = jnp.bfloat16,
     remat: bool = False,
     pallas_conv: bool = False,
+    fused_block: bool = False,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
     tokens = architecture_spec.split()
@@ -149,6 +150,7 @@ def parse_spec(
                     preact=preact, use_proj=use_proj,
                     dropout_prob=dropout_prob, compute_dtype=cd,
                     remat=remat, pallas_conv=pallas_conv,
+                    fused_block=fused_block,
                     **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
@@ -211,6 +213,7 @@ class ResNet:
         compute_dtype: Any = jnp.bfloat16,
         remat: bool = False,
         pallas_conv: bool = False,
+        fused_block: bool = False,
     ):
         self.architecture_spec = architecture_spec
         self.preact = preact
@@ -219,9 +222,10 @@ class ResNet:
         self.compute_dtype = compute_dtype
         self.remat = remat
         self.pallas_conv = pallas_conv
+        self.fused_block = fused_block
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
-            remat=remat, pallas_conv=pallas_conv,
+            remat=remat, pallas_conv=pallas_conv, fused_block=fused_block,
         )
 
     def init(self, rng, input_shape: Shape):
