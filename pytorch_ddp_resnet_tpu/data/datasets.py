@@ -32,6 +32,11 @@ Supported ``dataset_cls_name`` values:
   cached to ``data_dir`` after first generation.
 - ``Synthetic``: deterministic fake CIFAR-shaped data for tests/benchmarks
   (the reference has no offline story; SURVEY.md §4 calls for one).
+- ``Imagenette`` / ``DTD`` / ``Flowers102`` / ``FGVCAircraft``: image-file
+  datasets parsed natively from their published layouts (folder-per-class
+  tree; labels/{split}{partition}.txt lists; setid/imagelabels .mat pair;
+  images_variant_{split}.txt), fed through the streaming pipeline like
+  ImageNet. Breadth BEYOND the reference — see the note below.
 
 The reference resolves these names by reflection with a train->'val' split
 adaptation (data_util.py:27-38) — breadth that is largely illusory: a
@@ -521,13 +526,9 @@ def load_synthetic_spectral(
 _IMG_EXTS = (".jpeg", ".jpg", ".png", ".bmp")
 
 
-def load_imagenet_folder(data_dir: str, train: bool) -> ImageFolderDataset:
-    split = "train" if train else "val"
-    root = os.path.join(data_dir, "imagenet", split)
-    if not os.path.isdir(root):
-        raise FileNotFoundError(
-            f"ImageNet (ILSVRC-2012) must be provided at {root} in the "
-            f"folder-per-class layout; it is not downloadable.")
+def _list_folder_per_class(root: str, name: str) -> ImageFolderDataset:
+    """Build an ImageFolderDataset from a ``root/<class>/<image>`` tree,
+    classes indexed in sorted-name order (torchvision ImageFolder rule)."""
     classes = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)))
     paths, labels = [], []
@@ -539,7 +540,154 @@ def load_imagenet_folder(data_dir: str, train: bool) -> ImageFolderDataset:
                 labels.append(idx)
     return ImageFolderDataset(
         root=root, paths=paths, labels=np.asarray(labels, np.int32),
-        num_classes=len(classes), name="ImageNet")
+        num_classes=len(classes), name=name)
+
+
+def load_imagenet_folder(data_dir: str, train: bool) -> ImageFolderDataset:
+    split = "train" if train else "val"
+    root = os.path.join(data_dir, "imagenet", split)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"ImageNet (ILSVRC-2012) must be provided at {root} in the "
+            f"folder-per-class layout; it is not downloadable.")
+    return _list_folder_per_class(root, "ImageNet")
+
+
+# --- streaming image-file datasets beyond the reference ----------------------
+#
+# The reference cannot actually run ANY file-based torchvision dataset (its
+# _get_initial_data_shape dereferences `dataset.data[0]`, data_util.py:40-45,
+# and file-based VisionDatasets have no `.data`), so these four are breadth
+# BEYOND reference parity: native split parsers feeding the streaming
+# pipeline (decode-on-worker, data/streaming.py) exactly like ImageNet.
+
+_IMAGENETTE_URL = "https://s3.amazonaws.com/fast-ai-imageclas/imagenette2.tgz"
+
+
+def load_imagenette(data_dir: str, train: bool, download: bool = True,
+                    size: str = "full") -> ImageFolderDataset:
+    """Imagenette (fast.ai 10-class ImageNet subset): folder-per-class
+    ``imagenette2[-320|-160]/{train,val}/<wnid>/*.JPEG``."""
+    folder = {"full": "imagenette2", "320px": "imagenette2-320",
+              "160px": "imagenette2-160"}.get(size)
+    if folder is None:
+        raise ValueError(f"Imagenette size must be full/320px/160px, "
+                         f"got {size!r}.")
+    base = os.path.join(data_dir, folder)
+    if not os.path.isdir(base):
+        if not download or size != "full":
+            raise FileNotFoundError(f"Imagenette not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "Imagenette.lock")):
+            _download_and_extract(_IMAGENETTE_URL, data_dir, folder)
+    root = os.path.join(base, "train" if train else "val")
+    return _list_folder_per_class(root, "Imagenette")
+
+
+_DTD_URL = "https://thor.robots.ox.ac.uk/dtd/dtd-r1.0.1.tar.gz"
+
+
+def load_dtd(data_dir: str, train: bool, download: bool = True,
+             partition: int = 1) -> ImageFolderDataset:
+    """Describable Textures: ``dtd/dtd/images/<cat>/<cat>_NNNN.jpg`` with
+    ``labels/{train,val,test}<partition>.txt`` split lists of relative
+    image paths; 47 categories, indexed in sorted-name order."""
+    if not 1 <= int(partition) <= 10:
+        raise ValueError(f"DTD partition must be in 1..10, got {partition}.")
+    outer = os.path.join(data_dir, "dtd")
+    base = os.path.join(outer, "dtd")
+    if not os.path.isdir(base):
+        if not download:
+            raise FileNotFoundError(f"DTD not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "DTD.lock")):
+            _download_and_extract(_DTD_URL, outer, "dtd")
+    images = os.path.join(base, "images")
+    classes = sorted(d for d in os.listdir(images)
+                     if os.path.isdir(os.path.join(images, d)))
+    class_idx = {c: i for i, c in enumerate(classes)}
+    split = "train" if train else "val"
+    paths, labels = [], []
+    with open(os.path.join(base, "labels",
+                           f"{split}{int(partition)}.txt")) as f:
+        for line in f:
+            rel = line.strip()
+            if not rel:
+                continue
+            paths.append(os.path.join(images, rel))
+            labels.append(class_idx[rel.split("/", 1)[0]])
+    return ImageFolderDataset(
+        root=base, paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=len(classes), name="DTD")
+
+
+_FLOWERS102_BASE = "https://thor.robots.ox.ac.uk/flowers/102/"
+
+
+def load_flowers102(data_dir: str, train: bool,
+                    download: bool = True) -> ImageFolderDataset:
+    """Oxford Flowers-102: ``flowers-102/jpg/image_NNNNN.jpg`` plus
+    ``setid.mat`` (1-indexed image ids per split: trnid/valid/tstid) and
+    ``imagelabels.mat`` (1-indexed class per image)."""
+    base = os.path.join(data_dir, "flowers-102")
+    jpg = os.path.join(base, "jpg")
+    if not os.path.isdir(jpg):
+        if not download:
+            raise FileNotFoundError(f"Flowers-102 not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir), "Flowers102.lock")):
+            _download_and_extract(_FLOWERS102_BASE + "102flowers.tgz",
+                                  base, "jpg")
+            for fname in ("imagelabels.mat", "setid.mat"):
+                dest = os.path.join(base, fname)
+                if not os.path.exists(dest):
+                    urllib.request.urlretrieve(_FLOWERS102_BASE + fname,
+                                               dest + ".part")
+                    os.replace(dest + ".part", dest)
+    from scipy.io import loadmat
+
+    ids = loadmat(os.path.join(base, "setid.mat"))[
+        "trnid" if train else "valid"].reshape(-1)
+    all_labels = loadmat(os.path.join(base, "imagelabels.mat"))[
+        "labels"].reshape(-1)
+    paths = [os.path.join(jpg, f"image_{i:05d}.jpg") for i in ids]
+    labels = (all_labels[ids - 1] - 1).astype(np.int32)  # both 1-indexed
+    return ImageFolderDataset(
+        root=base, paths=paths, labels=labels, num_classes=102,
+        name="Flowers102")
+
+
+_FGVC_URL = ("https://www.robots.ox.ac.uk/~vgg/data/fgvc-aircraft/archives/"
+             "fgvc-aircraft-2013b.tar.gz")
+
+
+def load_fgvc_aircraft(data_dir: str, train: bool,
+                       download: bool = True) -> ImageFolderDataset:
+    """FGVC-Aircraft (variant level, the torchvision default):
+    ``fgvc-aircraft-2013b/data/images/<id>.jpg`` with ``variants.txt`` as
+    the class list (line order = class index) and
+    ``images_variant_{train,val}.txt`` lines of ``<id> <variant>``."""
+    base = os.path.join(data_dir, "fgvc-aircraft-2013b")
+    data = os.path.join(base, "data")
+    if not os.path.isdir(data):
+        if not download:
+            raise FileNotFoundError(f"FGVC-Aircraft not found at {base}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir),
+                                   "FGVCAircraft.lock")):
+            _download_and_extract(_FGVC_URL, data_dir, "fgvc-aircraft-2013b")
+    with open(os.path.join(data, "variants.txt")) as f:
+        classes = [line.strip() for line in f if line.strip()]
+    class_idx = {c: i for i, c in enumerate(classes)}
+    split = "train" if train else "val"
+    paths, labels = [], []
+    with open(os.path.join(data, f"images_variant_{split}.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            img_id, variant = line.split(" ", 1)
+            paths.append(os.path.join(data, "images", f"{img_id}.jpg"))
+            labels.append(class_idx[variant])
+    return ImageFolderDataset(
+        root=base, paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=len(classes), name="FGVCAircraft")
 
 
 def _ensure_dir(d: str) -> str:
@@ -559,6 +707,10 @@ _LOADERS = {
     "STL10": load_stl10,
     "Synthetic": load_synthetic,
     "SyntheticSpectral": load_synthetic_spectral,
+    "Imagenette": load_imagenette,
+    "DTD": load_dtd,
+    "Flowers102": load_flowers102,
+    "FGVCAircraft": load_fgvc_aircraft,
 }
 
 

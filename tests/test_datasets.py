@@ -298,3 +298,130 @@ def test_dataset_args_flow_from_config(tmp_path):
     ds = get_dataset("SyntheticSpectral", str(tmp_path), train=True,
                      n_train=256, n_test=32, num_classes=4, class_sep=0.5)
     assert ds.num_classes == 4 and len(ds) == 256
+
+
+# --- streaming image-file datasets (Imagenette / DTD / Flowers102 / FGVC) ----
+
+
+def _save_jpg(path, size=(12, 10), seed=0):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 256, size=(size[1], size[0], 3),
+                                 dtype=np.uint8)).save(path)
+
+
+def test_imagenette_folder_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_imagenette
+
+    wnids = ["n01440764", "n02102040", "n02979186"]
+    for split, n in (("train", 4), ("val", 2)):
+        for wnid in wnids:
+            for i in range(n):
+                _save_jpg(str(tmp_path / "imagenette2" / split / wnid /
+                              f"{wnid}_{i}.JPEG"), seed=i)
+    tr = load_imagenette(str(tmp_path), train=True, download=False)
+    va = load_imagenette(str(tmp_path), train=False, download=False)
+    assert len(tr) == 12 and len(va) == 6
+    assert tr.num_classes == va.num_classes == 3
+    # sorted-wnid class indexing, per-class path grouping
+    assert [tr.labels[i] for i in (0, 4, 8)] == [0, 1, 2]
+    assert all(os.path.exists(p) for p in tr.paths)
+    with pytest.raises(ValueError):
+        load_imagenette(str(tmp_path), train=True, size="99px")
+    with pytest.raises(FileNotFoundError):
+        load_imagenette(str(tmp_path / "nope"), train=True, download=False)
+
+
+def test_dtd_split_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_dtd
+
+    base = tmp_path / "dtd" / "dtd"
+    cats = ["banded", "dotted", "zigzagged"]
+    rel = {}
+    for c in cats:
+        rel[c] = [f"{c}/{c}_{i:04d}.jpg" for i in range(1, 4)]
+        for r in rel[c]:
+            _save_jpg(str(base / "images" / r))
+    (base / "labels").mkdir()
+    # train1: first 2 of each; val1: the last of each; partition 2 differs
+    with open(base / "labels" / "train1.txt", "w") as f:
+        f.write("\n".join(rel[c][i] for c in cats for i in range(2)) + "\n")
+    with open(base / "labels" / "val1.txt", "w") as f:
+        f.write("\n".join(rel[c][2] for c in cats) + "\n")
+    with open(base / "labels" / "train2.txt", "w") as f:
+        f.write(rel["dotted"][0] + "\n")
+
+    tr = load_dtd(str(tmp_path), train=True, download=False)
+    va = load_dtd(str(tmp_path), train=False, download=False)
+    assert len(tr) == 6 and len(va) == 3
+    assert tr.num_classes == 3  # categories present under images/
+    assert list(va.labels) == [0, 1, 2]  # sorted category order
+    assert all(os.path.exists(p) for p in tr.paths + va.paths)
+    p2 = load_dtd(str(tmp_path), train=True, download=False, partition=2)
+    assert len(p2) == 1 and p2.labels[0] == 1
+    with pytest.raises(ValueError):
+        load_dtd(str(tmp_path), train=True, download=False, partition=11)
+
+
+def test_flowers102_mat_split_parsing(tmp_path):
+    from scipy.io import savemat
+
+    from pytorch_ddp_resnet_tpu.data.datasets import load_flowers102
+
+    base = tmp_path / "flowers-102"
+    n = 10
+    for i in range(1, n + 1):
+        _save_jpg(str(base / "jpg" / f"image_{i:05d}.jpg"), seed=i)
+    labels = np.arange(1, n + 1) % 102 + 1  # 1-indexed classes
+    savemat(str(base / "imagelabels.mat"), {"labels": labels.reshape(1, -1)})
+    savemat(str(base / "setid.mat"), {
+        "trnid": np.array([[1, 3, 5, 7]]), "valid": np.array([[2, 4]]),
+        "tstid": np.array([[6, 8, 9, 10]])})
+
+    tr = load_flowers102(str(tmp_path), train=True, download=False)
+    va = load_flowers102(str(tmp_path), train=False, download=False)
+    assert len(tr) == 4 and len(va) == 2 and tr.num_classes == 102
+    assert tr.paths[0].endswith("image_00001.jpg")
+    # label of image id k is (k % 102 + 1) - 1 zero-indexed
+    assert list(tr.labels) == [(k % 102 + 1) - 1 for k in (1, 3, 5, 7)]
+    assert all(os.path.exists(p) for p in tr.paths + va.paths)
+
+
+def test_fgvc_aircraft_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_fgvc_aircraft
+
+    data = tmp_path / "fgvc-aircraft-2013b" / "data"
+    variants = ["707-320", "A340-300", "DR-400"]
+    (data / "images").mkdir(parents=True)
+    with open(data / "variants.txt", "w") as f:
+        f.write("\n".join(variants) + "\n")
+    ids = {"train": ["0001", "0002", "0003"], "val": ["0004"]}
+    pairs = {"0001": "A340-300", "0002": "707-320", "0003": "DR-400",
+             "0004": "A340-300"}
+    for split, id_list in ids.items():
+        with open(data / f"images_variant_{split}.txt", "w") as f:
+            f.write("\n".join(f"{i} {pairs[i]}" for i in id_list) + "\n")
+    for i in pairs:
+        _save_jpg(str(data / "images" / f"{i}.jpg"))
+
+    tr = load_fgvc_aircraft(str(tmp_path), train=True, download=False)
+    va = load_fgvc_aircraft(str(tmp_path), train=False, download=False)
+    assert len(tr) == 3 and len(va) == 1 and tr.num_classes == 3
+    # class index = variants.txt line order; names contain spaces/dashes
+    assert list(tr.labels) == [1, 0, 2] and list(va.labels) == [1]
+    assert all(os.path.exists(p) for p in tr.paths + va.paths)
+
+
+def test_streaming_registry_dispatch(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import (
+        ImageFolderDataset,
+        get_dataset,
+    )
+
+    for wnid in ("a", "b"):
+        _save_jpg(str(tmp_path / "imagenette2" / "train" / wnid / "x.jpg"))
+        _save_jpg(str(tmp_path / "imagenette2" / "val" / wnid / "x.jpg"))
+    ds = get_dataset("Imagenette", str(tmp_path), train=True, download=False)
+    assert isinstance(ds, ImageFolderDataset) and ds.num_classes == 2
