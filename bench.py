@@ -62,12 +62,14 @@ def main():
     n_chips = mesh.size
 
     # BENCH_PALLAS_CONV=1 routes the stride-1 3x3 convs through the
-    # lane-packed Pallas kernels (ops/pallas/conv.py) for A/B comparison;
-    # see BASELINE.md for the measured verdict.
+    # lane-packed Pallas kernels (ops/pallas/conv.py); BENCH_FUSED_BLOCK=1
+    # runs the preact trunk through the fused block-half kernels
+    # (ops/pallas/fused_block.py). A/B knobs; see BASELINE.md for verdicts.
     model = ResNet("c3,160,3,1,1 r4 r4 r4 n a ap8,1,0 fc640,10",
                    preact=True, use_proj=True, dropout_prob=0.3,
                    compute_dtype=jnp.bfloat16,
-                   pallas_conv=os.environ.get("BENCH_PALLAS_CONV") == "1")
+                   pallas_conv=os.environ.get("BENCH_PALLAS_CONV") == "1",
+                   fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1")
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
 

@@ -130,11 +130,13 @@ class ResidualBlock(_BlockBase):
     pallas_conv: bool = False
     # Opt-in fused block-half kernels (ops/pallas/fused_block.py): the whole
     # preact chain norm->relu->dropout->conv (+residual, +next-BN stats)
-    # runs as one Pallas call per conv, eliminating the elementwise HBM
-    # round trips measured as the per-stage step-time premium (BASELINE.md
-    # "Where the step time actually goes"). Config flag `use_fused_block`;
-    # applies to train-mode preact non-transforming blocks, other
-    # geometries fall back to the layer-by-layer path.
+    # runs as one Pallas call per conv. Config flag `use_fused_block`;
+    # applies to train-mode preact non-transforming blocks above the
+    # h*w >= 2*c crossover, other geometries fall back to the layer path.
+    # Measured verdict (BASELINE.md "Fused block-half kernels"): wins its
+    # stage-1 microbench 1.10x but loses ~2.6% END-TO-END on WRN-28-10 —
+    # XLA already fuses the targeted epilogue traffic into its in-model
+    # conv kernels — so this stays default-OFF infrastructure.
     fused_block: bool = False
 
     @property
@@ -242,6 +244,14 @@ class ResidualBlock(_BlockBase):
         b, h, w, c = x_shape
         if c % (32 if thresh < 256 else 16) != 0:
             return False
+        # Measured crossover (BASELINE.md "Fused block-half kernels",
+        # v5e b256): the fused halves win where elementwise epilogue HBM
+        # traffic dominates the conv — 32x32x160 trains 1.10x faster
+        # (fwd 1.30x) — but tie at 16x16x320 (0.98x) and lose at 8x8x640
+        # (0.77x: the VMEM-resident wgrad accumulator forces halved
+        # tiles). Fuse only above the spatial-to-channel crossover.
+        if h * w < 2 * c:
+            return False
         from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
 
         try:
@@ -255,7 +265,33 @@ class ResidualBlock(_BlockBase):
             return self._forward_fused(params, state, x, rng=rng)
         return super()._apply_impl(params, state, x, train=train, rng=rng)
 
+    def lane_eligible(self, x_shape, train: bool) -> bool:
+        """Sequential's transpose-hoisting protocol (layers.py): True when
+        this block would take the fused lane-layout path for ``x_shape``."""
+        return self._fused_eligible(x_shape, train)
+
+    def apply_lane(self, params, state, x_cs, x_shape, *, train, rng=None):
+        """Apply the fused path to an activation ALREADY in lane layout
+        ([C, B*H*W]); used by Sequential to run consecutive fused blocks
+        without per-block NHWC<->lane transposes (each is a full activation
+        HBM round trip — measured to cancel the fused win end-to-end)."""
+        if self.remat:
+            def f(p, s, xx):
+                return self._forward_lane(p, s, xx, x_shape, rng=rng)
+
+            return jax.checkpoint(f)(params, state, x_cs)
+        return self._forward_lane(params, state, x_cs, x_shape, rng=rng)
+
     def _forward_fused(self, params, state, x, *, rng):
+        b, h, w, c = x.shape
+        x_cs = jnp.transpose(x.astype(self.compute_dtype),
+                             (3, 0, 1, 2)).reshape(c, b * h * w)
+        y_cs, new_state = self._forward_lane(params, state, x_cs, x.shape,
+                                             rng=rng)
+        y = jnp.transpose(y_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+        return y, new_state
+
+    def _forward_lane(self, params, state, x_cs, x_shape, *, rng):
         """The preact chain with both halves as fused Pallas calls.
 
         Matches _forward's preact branch op-for-op (same normalize/relu/
@@ -279,7 +315,7 @@ class ResidualBlock(_BlockBase):
         )
 
         interpret = jax.default_backend() != "tpu"
-        b, h, w, c = x.shape
+        b, h, w, c = x_shape
         n = b * h * w
         sub = self._sublayers()
         idx = {name: i for i, (name, layer, _) in enumerate(sub)}
@@ -311,8 +347,7 @@ class ResidualBlock(_BlockBase):
             return jax.random.bits(jax.random.fold_in(rng, idx[name]),
                                    (c, n), dtype=jnp.uint8)
 
-        cd = self.compute_dtype
-        x_cs = jnp.transpose(x.astype(cd), (3, 0, 1, 2)).reshape(c, n)
+        x_cs = x_cs.astype(self.compute_dtype)  # no-op from the fused chain
         xf = x_cs.astype(jnp.float32)
         s1, t1 = fold_and_ema("norm1", jnp.sum(xf, axis=1),
                               jnp.sum(jnp.square(xf), axis=1))
@@ -324,9 +359,8 @@ class ResidualBlock(_BlockBase):
         y_cs, _, _ = fused_half(
             z_cs, params["conv2"]["w"], s2, t2, bits_for("drop2"), x_cs,
             dropout_rate=self.dropout_prob, h=h, w_img=w,
-            interpret=interpret)
-        y = jnp.transpose(y_cs.reshape(c, b, h, w), (1, 2, 3, 0))
-        return y, new_state
+            want_stats=False, interpret=interpret)
+        return y_cs, new_state
 
 
 @dataclass(frozen=True)

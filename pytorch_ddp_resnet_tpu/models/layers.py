@@ -358,14 +358,44 @@ class Sequential(Layer):
         return params, state, shape
 
     def apply(self, params, state, x, *, train, rng=None):
+        # Transpose hoisting for the fused block-half path: a run of
+        # consecutive layers exposing `apply_lane`/`lane_eligible` (the
+        # fused preact ResidualBlocks, blocks.py) executes entirely in the
+        # kernels' lane layout ([C, B*H*W]), converting once at entry and
+        # once at exit instead of per block — each per-block conversion is
+        # a full-activation HBM round trip that was measured to cancel the
+        # fused kernels' win (BASELINE.md "Fused block-half kernels").
         new_state = dict(state)
+        lane = None  # (x_cs, nhwc_shape) while inside a fused run
+
+        def delane(lane):
+            x_cs, (b, h, w, c) = lane
+            return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+
         for i, (name, layer) in enumerate(self.layers):
             layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
-            x, s = layer.apply(
-                params.get(name, {}), state.get(name, {}), x,
-                train=train, rng=layer_rng)
+            shape = lane[1] if lane is not None else getattr(x, "shape", None)
+            if (hasattr(layer, "apply_lane") and shape is not None
+                    and len(shape) == 4 and layer.lane_eligible(shape, train)):
+                if lane is None:
+                    b, h, w, c = shape
+                    x_cs = jnp.transpose(x.astype(layer.compute_dtype),
+                                         (3, 0, 1, 2)).reshape(c, b * h * w)
+                    lane = (x_cs, shape)
+                x_cs, s = layer.apply_lane(
+                    params.get(name, {}), state.get(name, {}), lane[0],
+                    lane[1], train=train, rng=layer_rng)
+                lane = (x_cs, lane[1])
+            else:
+                if lane is not None:
+                    x, lane = delane(lane), None
+                x, s = layer.apply(
+                    params.get(name, {}), state.get(name, {}), x,
+                    train=train, rng=layer_rng)
             if s:
                 new_state[name] = s
+        if lane is not None:
+            x = delane(lane)
         return x, new_state
 
 

@@ -34,6 +34,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # `slow` marks the multi-minute integration tiers (subprocess
+    # rendezvous, full train-restart-continue): on by default so CI
+    # coverage is unchanged, opt out during development with
+    # `pytest -m "not slow"` (~halves the single-core wall clock).
+    config.addinivalue_line(
+        "markers", "slow: multi-minute integration tests (deselect with "
+        "-m \"not slow\")")
+
+
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)

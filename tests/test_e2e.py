@@ -14,6 +14,8 @@ from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
 from pytorch_ddp_resnet_tpu.utils.config import get_config
 from pytorch_ddp_resnet_tpu.utils.tb import read_scalars
 
+pytestmark = pytest.mark.slow
+
 CONFIG = {
     "backend": "gloo",          # accepted for reference-YAML compat
     "world_size": 8,

@@ -87,6 +87,41 @@ def test_gradients_match_reference_f32(rng_np, rate, use_res):
         assert rel < 1e-5, rel
 
 
+@pytest.mark.parametrize("rate,use_res", [(0.0, False), (0.3, True)])
+def test_no_stats_variant_matches(rng_np, rate, use_res):
+    """want_stats=False (a block's LAST conv, whose epilogue stats nobody
+    reads): same y, None stats, and gradients matching the reference when
+    no cotangents flow through the stats outputs."""
+    x, wts, scale, shift, bits, res = _inputs(rng_np, jnp.float32)
+    bb = bits if rate > 0 else None
+    rr = res if use_res else None
+    y1, s1, q1 = fused_half(x, wts, scale, shift, bb, rr,
+                            dropout_rate=rate, h=H, w_img=W,
+                            want_stats=False, interpret=True)
+    assert s1 is None and q1 is None
+    y2, _, _ = fused_half_reference(x, wts, scale, shift, bb, rr,
+                                    dropout_rate=rate, h=H, w_img=W)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_with(fn, extra):
+        def loss(x, wts, scale, shift):
+            y = fn(x, wts, scale, shift, bb, rr,
+                   dropout_rate=rate, h=H, w_img=W, **extra)[0]
+            return jnp.sum(jnp.cos(y) * 1.7)
+        return loss
+
+    g1 = jax.grad(loss_with(fused_half,
+                            {"want_stats": False, "interpret": True}),
+                  argnums=(0, 1, 2, 3))(x, wts, scale, shift)
+    g2 = jax.grad(loss_with(fused_half_reference, {}),
+                  argnums=(0, 1, 2, 3))(x, wts, scale, shift)
+    for a, b in zip(g1, g2):
+        af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(af - bf).max() / (np.abs(bf).max() + 1e-9)
+        assert rel < 1e-5, rel
+
+
 def test_dropout_thresh_matches_layer_quantization():
     # layers.py Dropout: thresh = round(keep * 256)
     assert dropout_thresh(0.0) == 256
@@ -182,6 +217,48 @@ def test_block_fused_eval_uses_normal_path(rng_np):
     y_f, _ = block_f.apply(params, state, x, train=False)
     np.testing.assert_array_equal(np.asarray(y_n, np.float32),
                                   np.asarray(y_f, np.float32))
+
+
+def test_sequential_lane_hoisting_exact(rng_np):
+    """Sequential's transpose hoisting (layers.py): a run of fused blocks
+    executed in lane layout end-to-end must be EXACTLY the composition of
+    the per-block fused applies (the hoisted path elides value-preserving
+    transposes only — same kernels, same rng folding, same state)."""
+    from pytorch_ddp_resnet_tpu.models.layers import Sequential
+
+    blocks = tuple((f"block{i}", _make_block(True, dropout=0.3))
+                   for i in range(3))
+    seq = Sequential(blocks)
+    rng = jax.random.key(0)
+    params, state, _ = seq.init(rng, (H, W, C))
+    x = _block_io(rng_np)
+    drop_rng = jax.random.key(7)
+
+    y_seq, st_seq = seq.apply(params, state, x, train=True, rng=drop_rng)
+
+    # manual composition with Sequential's own per-index rng folding
+    y_man, st_man = x, dict(state)
+    for i, (name, blk) in enumerate(blocks):
+        y_man, s = blk.apply(params[name], state[name], y_man, train=True,
+                             rng=jax.random.fold_in(drop_rng, i))
+        st_man[name] = s
+    np.testing.assert_array_equal(np.asarray(y_seq, np.float32),
+                                  np.asarray(y_man, np.float32))
+    for name in st_man:
+        for bn in st_man[name]:
+            for k in ("mean", "var"):
+                np.testing.assert_array_equal(
+                    np.asarray(st_seq[name][bn][k]),
+                    np.asarray(st_man[name][bn][k]))
+
+    # a trailing non-lane layer forces clean exit from lane layout
+    from pytorch_ddp_resnet_tpu.models.layers import ReLU
+
+    seq2 = Sequential(blocks + (("relu", ReLU()),))
+    y2, _ = seq2.apply(params, state, x, train=True, rng=drop_rng)
+    np.testing.assert_array_equal(
+        np.asarray(y2, np.float32),
+        np.maximum(np.asarray(y_seq, np.float32), 0))
 
 
 def test_block_fused_fallbacks(rng_np):
