@@ -160,3 +160,33 @@ def test_process_local_extent_single_process_covers_all():
     lo, hi = process_local_extent(
         NamedSharding(mesh, P(None, "data")), (2, 8, 5), axis=1)
     assert (lo, hi) == (0, 8)
+
+
+def test_sharded_fused_block_matches_single_device():
+    """The fused block-half path (interpret-mode Pallas on CPU) under the
+    8-device mesh must reproduce the single-device result — sync-BN batch
+    stats ride the kernels' epilogue sums, which must reduce globally."""
+    spec = "c3,16,3,1,1 r1 ap8,1,0 fc16,10"
+    model = ResNet(spec, preact=True, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.float32, fused_block=True)
+    opt = sgd(momentum=0.9, weight_decay=1e-4)
+    ts = init_train_state(model, opt, jax.random.key(0), (8, 8, 3))
+    step = make_train_step(model, opt, num_microbatches=1)
+    x, y = _batch()
+
+    ts1, m1 = jax.jit(step)(ts, jnp.asarray(x)[None], jnp.asarray(y)[None],
+                            jnp.float32(0.1), jax.random.key(1))
+
+    mesh = make_mesh()
+    rep = replicated_sharding(mesh)
+    data = NamedSharding(mesh, P(None, "data"))
+    ts8, m8 = jax.jit(step)(
+        jax.device_put(ts, rep), jax.device_put(x[None], data),
+        jax.device_put(y[None], data), jnp.float32(0.1), jax.random.key(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1),
+                    jax.tree_util.tree_leaves(ts8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
