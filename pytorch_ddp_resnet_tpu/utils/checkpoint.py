@@ -29,6 +29,7 @@ import json
 import math
 import os
 import re
+import zipfile
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -202,17 +203,21 @@ def maybe_load_checkpoint(
     return steps_
 
 
-def _manifest_resume_step(checkpoint_dir: str,
-                          kinds: List[str]) -> Optional[int]:
+def _manifest_resume_step(checkpoint_dir: str, kinds: List[str],
+                          exclude: Optional[set] = None) -> Optional[int]:
     """Newest manifested step covering every requested kind whose files all
     still exist — and, when the manifest records file sizes, still have
     exactly those sizes (a truncated-but-present kind file scans back to
     the previous complete save instead of failing np.load at resume).
-    None when no manifest qualifies (pre-manifest dirs, or a changed kind
+    ``exclude`` skips steps whose files proved unreadable despite passing
+    the size check (same-size corruption; the caller scans back). None
+    when no manifest qualifies (pre-manifest dirs, or a changed kind
     set — the common-step fallback handles those)."""
     if not os.path.isdir(checkpoint_dir):
         return None
     for step, manifest_kinds, sizes in _read_manifests(checkpoint_dir):
+        if exclude and step in exclude:
+            continue
         if not set(kinds) <= set(manifest_kinds):
             continue
 
@@ -251,7 +256,26 @@ def maybe_load_checkpoints(
     if not kinds:
         return 0
     if steps is None:
-        steps = _manifest_resume_step(checkpoint_dir, kinds)
+        # Manifested resume with scan-back on unreadable files: the size
+        # check in _manifest_resume_step catches truncation, but a
+        # same-size-corrupted kind file only surfaces when np.load parses
+        # it — retry the next older complete manifest instead of failing
+        # the run (ROADMAP durability polish).
+        tried: set = set()
+        while True:
+            cand = _manifest_resume_step(checkpoint_dir, kinds,
+                                         exclude=tried)
+            if cand is None:
+                break
+            try:
+                return _load_all_kinds(checkpoint_dir, checkpointables,
+                                       kinds, cand, verbose)
+            except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
+                tried.add(cand)
+                if verbose:
+                    print(f"Checkpoint step {cand} unreadable despite "
+                          f"matching its manifest ({type(e).__name__}: "
+                          f"{e}); scanning back to an older save.")
     if steps is None:
         per_kind = {
             k: set(_latest_n_checkpoint_steps(
@@ -281,6 +305,12 @@ def maybe_load_checkpoints(
             steps_ = max(common)
     else:
         steps_ = steps
+    return _load_all_kinds(checkpoint_dir, checkpointables, kinds, steps_,
+                           verbose)
+
+
+def _load_all_kinds(checkpoint_dir, checkpointables, kinds, steps_,
+                    verbose) -> int:
     global_steps = [
         maybe_load_checkpoint(checkpoint_dir, k, checkpointables[k],
                               steps_, verbose)

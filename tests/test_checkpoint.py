@@ -367,3 +367,23 @@ def test_async_checkpointer_release_caps_device_copies(tmp_path):
     assert ckpt.maybe_load_checkpoint(str(tmp_path), "thing", fresh,
                                       verbose=False) == 2
     ck.close()
+
+
+def test_manifest_same_size_corruption_scans_back(tmp_path):
+    """A kind file corrupted WITHOUT a size change passes the manifest's
+    size check and only surfaces when np.load parses it; resume must
+    scan back to the previous complete manifested step instead of
+    crashing (the scan-back loop in maybe_load_checkpoints)."""
+    d = str(tmp_path)
+    a = ckpt.PytreeCheckpointable(_tree(1.0))
+    b = ckpt.PytreeCheckpointable(_tree(2.0))
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=3)
+    ckpt.save_checkpoints(d, {"a": a, "b": b}, steps=7)
+    path = os.path.join(d, "b_7.ckpt")
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:  # zero the zip header, keep the size
+        f.write(b"\x00" * min(512, size))
+    assert os.path.getsize(path) == size
+    target = {"a": ckpt.PytreeCheckpointable(_tree()),
+              "b": ckpt.PytreeCheckpointable(_tree())}
+    assert ckpt.maybe_load_checkpoints(d, target, verbose=False) == 3
