@@ -111,10 +111,14 @@ def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
                 mask, rolled, jnp.zeros_like(rolled))
         kg = len(taps) * cin
         wg = w_ref[:, col:col + kg]
+        # int8 inputs accumulate in s32 and engage the MXU's int8 mode
+        # (measured 336 T/s vs 146 bf16 on square matmuls, v5e —
+        # tools/bench_int8_mxu.py); float inputs accumulate in f32.
+        acc_t = (jnp.int32 if x_ref.dtype == jnp.int8 else jnp.float32)
         contrib = jax.lax.dot_general(
             wg, patch_ref[0:kg, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_t)
         acc = contrib if acc is None else acc + contrib
         col += kg
     out_ref[:] = acc.astype(out_ref.dtype)
@@ -137,7 +141,9 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
 
     x_cs: [Cin, N] with N = B*H*W (image-major flattening, whole images).
     w_packed: [Cout, 9*Cin] from pack_weights.
-    Returns [Cout, N] in x_cs.dtype.
+    Returns [Cout, N] in x_cs.dtype — except int8 inputs, which return the
+    raw s32 accumulator (the quantized-serving caller applies its own
+    requantization scales).
     """
     cin, n = x_cs.shape
     cout = w_packed.shape[0]
@@ -146,6 +152,7 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
     hw = h * w_img
     if n % hw != 0:
         raise ValueError(f"N={n} not a multiple of H*W={hw}")
+    out_dtype = jnp.int32 if x_cs.dtype == jnp.int8 else x_cs.dtype
     tile = _pick_tile(hw, n, max(cin, cout))
     groups = _tap_groups(cin)
     gmax = max(len(g) for g in groups)
@@ -163,7 +170,7 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
         ],
         out_specs=pl.BlockSpec((cout, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cout, n), x_cs.dtype),
+        out_shape=jax.ShapeDtypeStruct((cout, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((gmax * cin, tile), x_cs.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * cout * 9 * cin * n,
