@@ -30,6 +30,11 @@ class Predictor:
                  batch_size: int = 256, fold_bn: bool = True):
         self._model = model
         self._batch = batch_size
+        self._preprocess = preprocess_fn
+        # pre-fold pytrees: quantize_int8 computes BN eval affines itself
+        # (folding them into the dequant scales), so it starts from these
+        self._orig = (params, model_state)
+        self.n_quantized = 0
         if fold_bn:
             from pytorch_ddp_resnet_tpu.models.fold import fold_batchnorm
 
@@ -50,20 +55,64 @@ class Predictor:
         self._fwd_fn = fwd
         self._fwd = jax.jit(fwd)
 
-    def logits(self, images: np.ndarray) -> np.ndarray:
-        """images: (N, H, W, C) uint8 (raw) — any N; returns (N, classes)."""
-        n = len(images)
-        out = []
-        for start in range(0, n, self._batch):
+    def quantize_int8(self, calib_images: np.ndarray) -> int:
+        """Switch the serving forward to the w8a8 post-training-quantized
+        path (models/quantize.py): eligible 3x3 convs run int8 x int8 on
+        the MXU's 2x-rate mode via the lane-packed Pallas kernel.
+
+        calib_images: raw uint8 NHWC images (ideally >= one serving batch,
+        e.g. a slice of the training set) used to calibrate per-conv
+        activation scales through the float path. Calibration runs at the
+        serving batch geometry, so scale placement and int8 eligibility
+        match the compiled program exactly.
+
+        Returns the number of quantized convs; raises ValueError when the
+        model has no int8-eligible blocks (channel counts not divisible by
+        32, e.g. v1 CIFAR nets) — callers should keep the float path then.
+        """
+        from pytorch_ddp_resnet_tpu.models.quantize import (
+            Int8Inference, calibrate)
+
+        params, state = self._orig
+        inf = Int8Inference(self._model, params, state)
+        pre = self._preprocess
+        pre_jit = jax.jit(pre) if pre else (lambda x: x)
+        batches = [pre_jit(jnp.asarray(chunk))
+                   for chunk in self._padded_chunks(calib_images)]
+        scales = calibrate(inf, batches)
+        if not scales:
+            raise ValueError(
+                "int8 quantization: no eligible convs in this model "
+                "(needs basic residual blocks with identity shortcuts and "
+                "channel counts divisible by 32).")
+        serve = inf.serve_fn(scales)
+
+        def fwd(x):
+            xp = pre(x) if pre else x
+            return serve(xp)
+
+        self._fwd_fn = fwd
+        self._fwd = jax.jit(fwd)
+        self.n_quantized = len(scales)
+        return len(scales)
+
+    def _padded_chunks(self, images: np.ndarray):
+        """Yield images in serving-batch-sized chunks, last one padded by
+        repeating its final sample (the same padding logits() applies)."""
+        for start in range(0, len(images), self._batch):
             chunk = images[start:start + self._batch]
-            take = len(chunk)
-            pad = self._batch - take
+            pad = self._batch - len(chunk)
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            lg = self._fwd(jnp.asarray(chunk))
-            out.append(np.asarray(lg[:take]))
-        return np.concatenate(out)
+            yield chunk
+
+    def logits(self, images: np.ndarray) -> np.ndarray:
+        """images: (N, H, W, C) uint8 (raw) — any N; returns (N, classes)."""
+        n = len(images)
+        out = [np.asarray(self._fwd(jnp.asarray(chunk)))
+               for chunk in self._padded_chunks(images)]
+        return np.concatenate(out)[:n]
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Top-1 class labels."""
@@ -123,8 +172,15 @@ def load_exported(path: str):
 
 
 def load_predictor(config, mesh=None, batch_size: Optional[int] = None,
-                   verbose: bool = False, fold_bn: bool = True) -> Predictor:
-    """Build a Predictor from a run directory's latest checkpoint."""
+                   verbose: bool = False, fold_bn: bool = True,
+                   quantize: Optional[str] = None,
+                   calib_samples: int = 512) -> Predictor:
+    """Build a Predictor from a run directory's latest checkpoint.
+
+    quantize='int8' additionally calibrates and switches to the w8a8
+    post-training-quantized serving path, drawing ``calib_samples`` raw
+    training images from the run's own (resident) data pipeline.
+    """
     from pytorch_ddp_resnet_tpu.algos.train import setup
 
     ls = setup(config, mesh=mesh, verbose=verbose)
@@ -141,4 +197,17 @@ def load_predictor(config, mesh=None, batch_size: Optional[int] = None,
         pred.set_input_shape(tuple(pipe.test_x.shape[1:]))
     elif hasattr(pipe, "crop_size"):
         pred.set_input_shape((pipe.crop_size, pipe.crop_size, 3))
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"Unknown quantize mode {quantize!r}.")
+        if not hasattr(pipe, "train_x"):
+            raise ValueError(
+                "quantize='int8' needs a resident pipeline to draw "
+                "calibration images from; pass calibration data to "
+                "Predictor.quantize_int8() directly for streaming runs.")
+        calib = np.asarray(pipe.train_x[:max(calib_samples, 1)])
+        n = pred.quantize_int8(calib)
+        if verbose:
+            print(f"int8-quantized {n} convs "
+                  f"({len(calib)} calibration images).")
     return pred

@@ -1,0 +1,280 @@
+"""Post-training int8 quantization for serving (w8a8, per-channel weights).
+
+Why this exists: the v5e MXU has a 2x-throughput int8 mode that XLA's conv
+lowering never engages (measured round 2/3, tools/bench_int8_mxu.py: bf16
+matmul 184 T/s ~ near peak, int8 XLA dot_general 423 T/s, int8 Mosaic
+~737 T/s on 4096^3). The lane-packed Pallas conv (ops/pallas/conv.py)
+accepts int8 operands with s32 accumulation and beats the bf16 XLA conv at
+every WRN-28-10 stage shape (0.59/0.41/0.41 ms vs 0.82/0.74/0.43, requant
+included). This module turns that kernel-level win into an end-to-end
+serving path.
+
+Scheme (standard w8a8 PTQ):
+- **Weights**: per-output-channel symmetric int8, scale = absmax/127, done
+  once at load time (no data needed).
+- **Activations**: per-tensor symmetric int8, scale calibrated as the
+  absmax of each conv's input over a handful of batches run in the float
+  path (the observers ride the same program, so calibration and serving
+  cannot disagree about where a conv's input is measured).
+- **Compute**: eligible 3x3 stride-1 SAME convs run int8 x int8 -> s32 on
+  the MXU's double-rate mode via conv3x3_lanes; everything around them
+  (BatchNorm eval affines, ReLU, dequant/requant) stays in f32/bf16
+  elementwise chains that XLA fuses. Non-eligible shapes (the input conv,
+  stride-2 transitions, 1x1 projections, the FC head) stay bf16.
+- **Layout**: consecutive eligible residual blocks execute in the kernels'
+  lane layout ([C, B*H*W]), converting once per run — the same transpose
+  hoisting the fused-block train path uses (models/layers.py Sequential) —
+  so per-block NHWC<->lane HBM round trips don't eat the MXU win.
+
+Eligibility: basic ResidualBlocks (either ordering: preact v2 or post-act
+v1) with identity shortcuts whose convs are 3x3/s1/SAME with channel counts
+divisible by 32 (the int8 sublane tile). For the shipped configs this
+covers the entire WRN-28-10 trunk (22 of 24 convs = ~97% of the FLOPs);
+v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
+
+Reference parity: none — the reference (lucaslingle/pytorch_ddp_resnet)
+has no serving or quantization story; this is a beyond-reference
+capability on the serving surface (algos/predict.py), validated against
+the trained hard-task checkpoints in ACCURACY.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_ddp_resnet_tpu.models.blocks import ResidualBlock
+from pytorch_ddp_resnet_tpu.models.layers import Sequential
+from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+    _pick_tile,
+    conv3x3_lanes,
+    pack_weights,
+)
+
+
+def quantize_conv_weights(w_hwio: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8: returns (w_q [HWIO int8],
+    scale [Cout] f32) with w ~= w_q * scale (max elementwise error
+    scale/2)."""
+    wf = jnp.asarray(w_hwio, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _quantize_act(a_f32: jax.Array, scale) -> jax.Array:
+    """Per-tensor symmetric int8 activation quantization."""
+    return jnp.clip(jnp.round(a_f32 / scale), -127, 127).astype(jnp.int8)
+
+
+def _bn_eval_affine(bn_layer, p: Dict, s: Dict):
+    """Eval-mode BatchNorm as a per-channel (inv, shift) affine:
+    BN(x) = x * inv + shift — the same formula BatchNorm.apply evaluates
+    (models/layers.py:195-198)."""
+    inv = jax.lax.rsqrt(s["var"] + bn_layer.eps) * p["scale"]
+    return inv, p["bias"] - s["mean"] * inv
+
+
+def _conv_eligible(conv, hw: int, n: int) -> bool:
+    if not (conv.kernel_size == 3 and conv.stride == 1 and conv.padding == 1
+            and not conv.use_bias
+            and conv.in_channels % 32 == 0 and conv.out_channels % 32 == 0):
+        return False
+    try:
+        _pick_tile(hw, n, max(conv.in_channels, conv.out_channels))
+    except ValueError:
+        return False
+    return True
+
+
+def _block_eligible(block, shape) -> bool:
+    """Static gate: basic residual block, identity shortcut, both convs
+    int8-lane-eligible at this activation geometry."""
+    if not isinstance(block, ResidualBlock) or block.transforms_shortcut:
+        return False
+    b, h, w, c = shape
+    sub = {name: layer for name, layer, _ in block._sublayers()}
+    return (_conv_eligible(sub["conv1"], h * w, b * h * w)
+            and _conv_eligible(sub["conv2"], h * w, b * h * w))
+
+
+class Int8Inference:
+    """Quantized eval-mode forward for a spec-built ResNet.
+
+    Two modes share one program structure (so the calibration observers sit
+    at exactly the conv inputs the int8 path quantizes):
+
+    - ``calibrate_fn()`` -> jittable ``f(x) -> (logits, stats)`` running the
+      float path with per-conv-input absmax observers; feed a few batches,
+      max-reduce the stats, divide by 127 -> ``act_scales``.
+    - ``serve_fn(act_scales)`` -> jittable ``f(x) -> logits`` running the
+      int8 path (quantized weights are baked in as jit constants).
+
+    Non-eligible layers/blocks delegate to the model's own ``apply`` with
+    ``train=False``, so everything outside the quantized trunk is
+    bit-identical to the float Predictor.
+    """
+
+    def __init__(self, model, params, state):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.interpret = jax.default_backend() != "tpu"
+        # static per-(stack, block) conv weight quantization, packed for the
+        # lane kernel: key -> (w_q_packed [Cout, 9*Cin] int8, scale [Cout])
+        self._wq: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+
+    # --- weight prep -----------------------------------------------------
+
+    def _packed_qweights(self, key: str, w_hwio) -> Tuple[jax.Array, jax.Array]:
+        if key not in self._wq:
+            w_q, scale = quantize_conv_weights(w_hwio)
+            self._wq[key] = (pack_weights(w_q), scale)
+        return self._wq[key]
+
+    # --- the shared walk ---------------------------------------------------
+
+    def _forward(self, x, act_scales: Optional[Dict[str, Any]], stats=None):
+        """One eval forward. ``act_scales=None`` -> float mode (optionally
+        recording absmax observers into ``stats``); dict -> int8 mode."""
+        model, params, state = self.model, self.params, self.state
+        cd = model.compute_dtype
+        lane = None  # (x_cs, (b, h, w, c)) while inside an eligible run
+
+        def delane(lane):
+            x_cs, (b, h, w, c) = lane
+            return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+
+        for name, layer in model.spine.layers:
+            if isinstance(layer, Sequential):  # residual stack
+                for bname, block in layer.layers:
+                    key = f"{name}/{bname}"
+                    shape = lane[1] if lane is not None else x.shape
+                    eligible = (len(shape) == 4
+                                and _block_eligible(block, shape))
+                    if eligible and act_scales is not None:
+                        # serving requires calibrated scales for this block
+                        eligible = f"{key}/conv1" in act_scales
+                    if eligible:
+                        if lane is None:
+                            b, h, w, c = shape
+                            x_cs = jnp.transpose(
+                                x.astype(cd), (3, 0, 1, 2)).reshape(
+                                    c, b * h * w)
+                            lane = (x_cs, shape)
+                        x_cs = self._block_lane(
+                            block, params[name][bname],
+                            state[name].get(bname, {}), lane[0], lane[1],
+                            key, act_scales, stats)
+                        lane = (x_cs, lane[1])
+                    else:
+                        if lane is not None:
+                            x, lane = delane(lane), None
+                        x, _ = block.apply(
+                            params[name].get(bname, {}),
+                            state.get(name, {}).get(bname, {}), x,
+                            train=False)
+            else:
+                if lane is not None:
+                    x, lane = delane(lane), None
+                x, _ = layer.apply(params.get(name, {}),
+                                   state.get(name, {}), x, train=False)
+        if lane is not None:
+            x = delane(lane)
+        return x
+
+    def _block_lane(self, block, p, s, x_cs, shape, key, act_scales, stats):
+        """One eligible basic block in lane layout [C, B*H*W]."""
+        b, h, w, c = shape
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+        cd = block.compute_dtype
+        xf = x_cs.astype(jnp.float32)
+
+        def conv(a_f32, cname, bn_inv):
+            """a_f32 [Cin, N] -> conv output [Cout, N] f32 (float or int8
+            path), with the *following* BN's inv folded into the dequant
+            scale when given (one fused multiply instead of two)."""
+            ckey = f"{key}/{cname}"
+            w_hwio = p[cname]["w"]
+            if act_scales is None:  # float path (+ calibration observers)
+                if stats is not None:
+                    stats[ckey] = jnp.max(jnp.abs(a_f32))
+                y = conv3x3_lanes(a_f32.astype(cd),
+                                  pack_weights(w_hwio.astype(cd)),
+                                  h=h, w_img=w, interpret=self.interpret)
+                yf = y.astype(jnp.float32)
+                return yf * bn_inv[:, None] if bn_inv is not None else yf
+            wq, wscale = self._packed_qweights(ckey, w_hwio)
+            a_scale = act_scales[ckey]
+            q = _quantize_act(a_f32, a_scale)
+            y32 = conv3x3_lanes(q, wq, h=h, w_img=w,
+                                interpret=self.interpret)
+            d = a_scale * wscale  # [Cout] f32 dequant scale
+            if bn_inv is not None:
+                d = d * bn_inv
+            return y32.astype(jnp.float32) * d[:, None]
+
+        if block.preact:
+            # norm1 -> relu -> conv1 -> norm2 -> relu -> conv2, identity add
+            a1 = jnp.maximum(xf * i1[:, None] + t1[:, None], 0.0)
+            z = conv(a1, "conv1", i2) + t2[:, None]
+            a2 = jnp.maximum(z, 0.0)
+            y = conv(a2, "conv2", None)
+            return (xf + y).astype(cd)
+        # post-act v1: conv1 -> norm1 -> relu -> conv2 -> norm2, add, relu
+        z = conv(xf, "conv1", i1) + t1[:, None]
+        a = jnp.maximum(z, 0.0)
+        y = conv(a, "conv2", i2) + t2[:, None]
+        return jnp.maximum(xf + y, 0.0).astype(cd)
+
+    # --- public entry points ---------------------------------------------
+
+    def calibrate_fn(self):
+        """Jittable float forward with observers:
+        ``f(x_nhwc) -> (logits, {conv_key: absmax})``."""
+
+        def f(x):
+            stats: Dict[str, Any] = {}
+            logits = self._forward(x, None, stats)
+            return logits, stats
+
+        return f
+
+    def serve_fn(self, act_scales: Dict[str, Any]):
+        """Jittable int8 forward ``f(x_nhwc) -> logits``. ``act_scales``
+        maps conv keys to per-tensor input scales (absmax/127)."""
+        scales = {k: jnp.float32(v) for k, v in act_scales.items()}
+        return lambda x: self._forward(x, scales)
+
+
+def calibrate(inference: Int8Inference, batches) -> Dict[str, float]:
+    """Run calibration batches through the float path; return per-conv
+    activation scales (absmax/127). ``batches``: iterable of preprocessed
+    NHWC arrays (all the same shape — one compile)."""
+    f = jax.jit(inference.calibrate_fn())
+    maxes: Dict[str, float] = {}
+    n = 0
+    for xb in batches:
+        _, stats = f(xb)
+        for k, v in stats.items():
+            v = float(v)
+            maxes[k] = max(maxes.get(k, 0.0), v)
+        n += 1
+    if n == 0:
+        raise ValueError("calibrate() needs at least one batch.")
+    return {k: max(v, 1e-12) / 127.0 for k, v in maxes.items()}
+
+
+def quantized_forward(model, params, state, calib_batches):
+    """One-call convenience: calibrate then return the jittable int8
+    forward ``f(x_nhwc_preprocessed) -> logits`` plus the scales used."""
+    inf = Int8Inference(model, params, state)
+    scales = calibrate(inf, calib_batches)
+    return inf.serve_fn(scales), scales
