@@ -52,6 +52,7 @@ from pytorch_ddp_resnet_tpu.models.layers import Sequential
 from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     _pick_tile,
     conv3x3_lanes,
+    conv3x3_lanes_requant,
     pack_weights,
 )
 
@@ -195,31 +196,26 @@ class Int8Inference:
         i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
         i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
         cd = block.compute_dtype
+
+        if act_scales is not None:
+            return self._block_lane_int8(
+                block, p, x_cs, h, w, key, act_scales, i1, t1, i2, t2)
+
+        # float path (calibration): f32 elementwise, observers at exactly
+        # the conv inputs the int8 path quantizes
         xf = x_cs.astype(jnp.float32)
 
         def conv(a_f32, cname, bn_inv):
-            """a_f32 [Cin, N] -> conv output [Cout, N] f32 (float or int8
-            path), with the *following* BN's inv folded into the dequant
-            scale when given (one fused multiply instead of two)."""
+            """a_f32 [Cin, N] -> conv output [Cout, N] f32, with the
+            *following* BN's inv folded in when given."""
             ckey = f"{key}/{cname}"
-            w_hwio = p[cname]["w"]
-            if act_scales is None:  # float path (+ calibration observers)
-                if stats is not None:
-                    stats[ckey] = jnp.max(jnp.abs(a_f32))
-                y = conv3x3_lanes(a_f32.astype(cd),
-                                  pack_weights(w_hwio.astype(cd)),
-                                  h=h, w_img=w, interpret=self.interpret)
-                yf = y.astype(jnp.float32)
-                return yf * bn_inv[:, None] if bn_inv is not None else yf
-            wq, wscale = self._packed_qweights(ckey, w_hwio)
-            a_scale = act_scales[ckey]
-            q = _quantize_act(a_f32, a_scale)
-            y32 = conv3x3_lanes(q, wq, h=h, w_img=w,
-                                interpret=self.interpret)
-            d = a_scale * wscale  # [Cout] f32 dequant scale
-            if bn_inv is not None:
-                d = d * bn_inv
-            return y32.astype(jnp.float32) * d[:, None]
+            if stats is not None:
+                stats[ckey] = jnp.max(jnp.abs(a_f32))
+            y = conv3x3_lanes(a_f32.astype(cd),
+                              pack_weights(p[cname]["w"].astype(cd)),
+                              h=h, w_img=w, interpret=self.interpret)
+            yf = y.astype(jnp.float32)
+            return yf * bn_inv[:, None] if bn_inv is not None else yf
 
         if block.preact:
             # norm1 -> relu -> conv1 -> norm2 -> relu -> conv2, identity add
@@ -233,6 +229,48 @@ class Int8Inference:
         a = jnp.maximum(z, 0.0)
         y = conv(a, "conv2", i2) + t2[:, None]
         return jnp.maximum(xf + y, 0.0).astype(cd)
+
+    def _block_lane_int8(self, block, p, x_cs, h, w, key, act_scales,
+                         i1, t1, i2, t2):
+        """Int8 basic block, lane layout, fused requant epilogues.
+
+        The s32 accumulator never leaves VMEM: each conv's dequant scale,
+        BN affine, relu, and (for conv1) the NEXT conv's quantization run
+        inside the kernel epilogue (conv3x3_lanes_requant). The only XLA
+        elementwise work left per block is the entry quantization of the
+        bf16 residual carrier — reading 2 B and writing 1 B per element —
+        vs the unfused version's 4 B s32 round trip per conv, which was
+        measured to cancel the whole int8 MXU win (trace_serving.py)."""
+        s1 = act_scales[f"{key}/conv1"]
+        s2 = act_scales[f"{key}/conv2"]
+        w1q, w1s = self._packed_qweights(f"{key}/conv1", p["conv1"]["w"])
+        w2q, w2s = self._packed_qweights(f"{key}/conv2", p["conv2"]["w"])
+        x = x_cs.astype(jnp.bfloat16)  # residual carrier
+        zeros = jnp.zeros_like(w2s)
+        if block.preact:
+            # entry: a1 = relu(norm1(x)), quantized for conv1
+            a1 = jnp.maximum(
+                x.astype(jnp.float32) * i1[:, None] + t1[:, None], 0.0)
+            q1 = _quantize_act(a1, s1)
+            # conv1 epilogue = dequant * norm2-inv + norm2-shift, relu,
+            # quantize with conv2's input scale -> q2 directly
+            q2 = conv3x3_lanes_requant(
+                q1, w1q, s1 * w1s * i2, t2, None, h=h, w_img=w,
+                relu=True, inv_out_scale=1.0 / s2,
+                interpret=self.interpret)
+            # conv2 epilogue = dequant + residual -> new bf16 carrier
+            return conv3x3_lanes_requant(
+                q2, w2q, s2 * w2s, zeros, x, h=h, w_img=w,
+                relu=False, inv_out_scale=None, interpret=self.interpret)
+        # post-act v1: conv1 -> norm1 -> relu -> conv2 -> norm2, add, relu.
+        # x is post-relu (>= 0); conv1's input is x itself.
+        q1 = _quantize_act(x.astype(jnp.float32), s1)
+        q2 = conv3x3_lanes_requant(
+            q1, w1q, s1 * w1s * i1, t1, None, h=h, w_img=w,
+            relu=True, inv_out_scale=1.0 / s2, interpret=self.interpret)
+        return conv3x3_lanes_requant(
+            q2, w2q, s2 * w2s * i2, t2, x, h=h, w_img=w,
+            relu=True, inv_out_scale=None, interpret=self.interpret)
 
     # --- public entry points ---------------------------------------------
 
@@ -249,8 +287,10 @@ class Int8Inference:
 
     def serve_fn(self, act_scales: Dict[str, Any]):
         """Jittable int8 forward ``f(x_nhwc) -> logits``. ``act_scales``
-        maps conv keys to per-tensor input scales (absmax/127)."""
-        scales = {k: jnp.float32(v) for k, v in act_scales.items()}
+        maps conv keys to per-tensor input scales (absmax/127). Scales are
+        kept as Python floats: conv1's output scale is a *static* kernel
+        constant (the fused epilogue quantizes for the next conv)."""
+        scales = {k: float(v) for k, v in act_scales.items()}
         return lambda x: self._forward(x, scales)
 
 

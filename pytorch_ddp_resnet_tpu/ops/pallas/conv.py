@@ -81,8 +81,10 @@ def _pick_tile(hw: int, n: int, c: int = 160) -> int:
     return t
 
 
-def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
-                 tile, groups):
+def _accumulate_taps(x_ref, w_ref, patch_ref, *, cin, h, w_img, tile,
+                     groups):
+    """Shared tap-grouped accumulation: returns the conv accumulator
+    (s32 for int8 inputs — the MXU's 2x mode — f32 otherwise)."""
     hw = h * w_img
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     pos = lane % hw
@@ -121,6 +123,13 @@ def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
             preferred_element_type=acc_t)
         acc = contrib if acc is None else acc + contrib
         col += kg
+    return acc
+
+
+def _conv_kernel(x_ref, w_ref, out_ref, patch_ref, *, cin, cout, h, w_img,
+                 tile, groups):
+    acc = _accumulate_taps(x_ref, w_ref, patch_ref, cin=cin, h=h,
+                           w_img=w_img, tile=tile, groups=groups)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -179,6 +188,98 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
             transcendentals=0),
         interpret=interpret,
     )(x_cs, w_packed)
+
+
+def _requant_kernel(x_ref, w_ref, scale_ref, shift_ref, *rest, cin, cout,
+                    h, w_img, tile, groups, relu, inv_out_scale, has_res):
+    """Conv + fused requantization epilogue, all in VMEM:
+        y = acc * scale[Cout] + shift[Cout] (+ res)
+        if relu: y = max(y, 0)
+        out = s8(clip(round(y * inv_out_scale)))  or  bf16(y)
+    The epilogue is the whole point: without it the s32 accumulator makes a
+    full HBM round trip per conv (4 B/elem out + 4 B/elem back in), which
+    was measured to cancel the int8 MXU win end-to-end (BASELINE.md
+    "Int8 serving")."""
+    if has_res:
+        res_ref, out_ref, patch_ref = rest
+    else:
+        out_ref, patch_ref = rest
+    acc = _accumulate_taps(x_ref, w_ref, patch_ref, cin=cin, h=h,
+                           w_img=w_img, tile=tile, groups=groups)
+    y = acc.astype(jnp.float32) * scale_ref[:] + shift_ref[:]
+    if has_res:
+        y = y + res_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if inv_out_scale is not None:
+        q = jnp.clip(jnp.round(y * inv_out_scale), -127.0, 127.0)
+        out_ref[:] = q.astype(jnp.int8)
+    else:
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w_img", "relu", "inv_out_scale", "interpret"))
+def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
+                          shift: jax.Array, res=None, *, h: int, w_img: int,
+                          relu: bool = False, inv_out_scale=None,
+                          interpret: bool = False) -> jax.Array:
+    """Int8 stride-1 SAME 3x3 conv with the requantization epilogue fused
+    into the kernel (quantized serving, models/quantize.py).
+
+    x_q: [Cin, N] int8; w_q: [Cout, 9*Cin] int8 (pack_weights of the
+    quantized HWIO kernel). scale/shift: [Cout] f32 — the dequant scale
+    (activation_scale * per-channel weight scale, with any following BN
+    eval affine folded in) and additive shift. res: optional [Cout, N]
+    bf16 residual added before the relu. inv_out_scale: static float —
+    when given, the output is the NEXT conv's quantized input (int8,
+    symmetric per-tensor); when None the output is bf16.
+    """
+    cin, n = x_q.shape
+    cout = w_q.shape[0]
+    if w_q.shape[1] != 9 * cin:
+        raise ValueError(f"weights {w_q.shape} vs Cin {cin}")
+    hw = h * w_img
+    if n % hw != 0:
+        raise ValueError(f"N={n} not a multiple of H*W={hw}")
+    tile = _pick_tile(hw, n, max(cin, cout))
+    groups = _tap_groups(cin)
+    gmax = max(len(g) for g in groups)
+    out_dtype = jnp.int8 if inv_out_scale is not None else jnp.bfloat16
+    inv = float(inv_out_scale) if inv_out_scale is not None else None
+    kernel = functools.partial(
+        _requant_kernel, cin=cin, cout=cout, h=h, w_img=w_img, tile=tile,
+        groups=groups, relu=relu, inv_out_scale=inv, has_res=res is not None)
+    in_specs = [
+        pl.BlockSpec((cin, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x_q, w_q, scale.reshape(cout, 1).astype(jnp.float32),
+            shift.reshape(cout, 1).astype(jnp.float32)]
+    if res is not None:
+        in_specs.append(pl.BlockSpec((cout, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(res.astype(jnp.bfloat16))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cout, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((gmax * cin, tile), x_q.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cout * 9 * cin * n,
+            bytes_accessed=(cin * n
+                            + cout * n * (1 if inv is not None else 2)
+                            + (cout * n * 2 if res is not None else 0)
+                            + cout * 9 * cin),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
 
 
 def pack_weights_dgrad(w_hwio: jax.Array) -> jax.Array:

@@ -170,3 +170,47 @@ def test_model_pallas_conv_flag_equivalence():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         g_pal, g_ref)
+
+
+@pytest.mark.parametrize("relu,quant,use_res", [
+    (True, True, False),    # conv1-style: affine -> relu -> s8 out
+    (False, False, True),   # preact conv2: affine + residual -> bf16 out
+    (True, False, True),    # v1 conv2: affine + residual -> relu -> bf16
+])
+def test_requant_epilogue_matches_composition(relu, quant, use_res):
+    """conv3x3_lanes_requant == conv3x3_lanes + explicit XLA epilogue."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+        conv3x3_lanes,
+        conv3x3_lanes_requant,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, w, cin, cout = 2, 8, 16, 32, 32
+    n = b * h * w
+    xq = jnp.asarray(rng.integers(-127, 128, size=(cin, n)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(cout, 9 * cin)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(1e-4, 1e-2, size=(cout,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    res = (jnp.asarray(rng.normal(size=(cout, n)), jnp.bfloat16)
+           if use_res else None)
+    inv = 3.7 if quant else None
+
+    got = conv3x3_lanes_requant(xq, wq, scale, shift, res, h=h, w_img=w,
+                                relu=relu, inv_out_scale=inv, interpret=True)
+
+    y = conv3x3_lanes(xq, wq, h=h, w_img=w, interpret=True)
+    ref = y.astype(jnp.float32) * scale[:, None] + shift[:, None]
+    if use_res:
+        ref = ref + res.astype(jnp.float32)
+    if relu:
+        ref = jnp.maximum(ref, 0.0)
+    if quant:
+        ref = jnp.clip(jnp.round(ref * inv), -127, 127).astype(jnp.int8)
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    else:
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref.astype(jnp.bfloat16), np.float32),
+            rtol=0, atol=2e-2)
