@@ -145,52 +145,68 @@ class Int8Inference:
         recording absmax observers into ``stats``); dict -> int8 mode."""
         model, params, state = self.model, self.params, self.state
         cd = model.compute_dtype
-        lane = None  # (x_cs, (b, h, w, c)) while inside an eligible run
+
+        # flatten the spine (stacks expand to their blocks) so the int8
+        # path can look one item ahead: a dual conv2 epilogue emits the
+        # NEXT eligible block's quantized input alongside the carrier
+        items = []
+        for name, layer in model.spine.layers:
+            if isinstance(layer, Sequential):  # residual stack
+                for bname, block in layer.layers:
+                    items.append((f"{name}/{bname}", block,
+                                  params[name][bname],
+                                  state.get(name, {}).get(bname, {})))
+            else:
+                items.append((name, layer, params.get(name, {}),
+                              state.get(name, {})))
+
+        def is_block(obj):
+            return isinstance(obj, ResidualBlock)
+
+        def eligible(idx, shape) -> bool:
+            key, obj, _, _ = items[idx]
+            if not is_block(obj) or len(shape) != 4:
+                return False
+            if not _block_eligible(obj, shape):
+                return False
+            return act_scales is None or f"{key}/conv1" in act_scales
 
         def delane(lane):
             x_cs, (b, h, w, c) = lane
             return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
 
-        for name, layer in model.spine.layers:
-            if isinstance(layer, Sequential):  # residual stack
-                for bname, block in layer.layers:
-                    key = f"{name}/{bname}"
-                    shape = lane[1] if lane is not None else x.shape
-                    eligible = (len(shape) == 4
-                                and _block_eligible(block, shape))
-                    if eligible and act_scales is not None:
-                        # serving requires calibrated scales for this block
-                        eligible = f"{key}/conv1" in act_scales
-                    if eligible:
-                        if lane is None:
-                            b, h, w, c = shape
-                            x_cs = jnp.transpose(
-                                x.astype(cd), (3, 0, 1, 2)).reshape(
-                                    c, b * h * w)
-                            lane = (x_cs, shape)
-                        x_cs = self._block_lane(
-                            block, params[name][bname],
-                            state[name].get(bname, {}), lane[0], lane[1],
-                            key, act_scales, stats)
-                        lane = (x_cs, lane[1])
-                    else:
-                        if lane is not None:
-                            x, lane = delane(lane), None
-                        x, _ = block.apply(
-                            params[name].get(bname, {}),
-                            state.get(name, {}).get(bname, {}), x,
-                            train=False)
+        lane = None     # (x_cs, (b, h, w, c)) while inside an eligible run
+        pending_q = None  # s8 conv1 input from the previous dual epilogue
+        for idx, (key, obj, p, s) in enumerate(items):
+            shape = lane[1] if lane is not None else getattr(x, "shape", ())
+            if eligible(idx, shape):
+                if lane is None:
+                    b, h, w, c = shape
+                    x_cs = jnp.transpose(
+                        x.astype(cd), (3, 0, 1, 2)).reshape(c, b * h * w)
+                    lane = (x_cs, shape)
+                nxt = None
+                if (act_scales is not None and idx + 1 < len(items)
+                        and eligible(idx + 1, shape)
+                        and items[idx + 1][1].preact == obj.preact):
+                    nxt = items[idx + 1]
+                x_cs, pending_q = self._block_lane(
+                    obj, p, s, lane[0], lane[1], key, act_scales, stats,
+                    q_in=pending_q, nxt=nxt)
+                lane = (x_cs, lane[1])
             else:
+                pending_q = None
                 if lane is not None:
                     x, lane = delane(lane), None
-                x, _ = layer.apply(params.get(name, {}),
-                                   state.get(name, {}), x, train=False)
+                x, _ = obj.apply(p, s, x, train=False)
         if lane is not None:
             x = delane(lane)
         return x
 
-    def _block_lane(self, block, p, s, x_cs, shape, key, act_scales, stats):
-        """One eligible basic block in lane layout [C, B*H*W]."""
+    def _block_lane(self, block, p, s, x_cs, shape, key, act_scales, stats,
+                    q_in=None, nxt=None):
+        """One eligible basic block in lane layout [C, B*H*W]. Returns
+        (new_carrier, next_block_q_or_None)."""
         b, h, w, c = shape
         sub = {n: layer for n, layer, _ in block._sublayers()}
         i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
@@ -199,7 +215,8 @@ class Int8Inference:
 
         if act_scales is not None:
             return self._block_lane_int8(
-                block, p, x_cs, h, w, key, act_scales, i1, t1, i2, t2)
+                block, p, x_cs, h, w, key, act_scales, i1, t1, i2, t2,
+                q_in=q_in, nxt=nxt)
 
         # float path (calibration): f32 elementwise, observers at exactly
         # the conv inputs the int8 path quantizes
@@ -223,54 +240,80 @@ class Int8Inference:
             z = conv(a1, "conv1", i2) + t2[:, None]
             a2 = jnp.maximum(z, 0.0)
             y = conv(a2, "conv2", None)
-            return (xf + y).astype(cd)
+            return (xf + y).astype(cd), None
         # post-act v1: conv1 -> norm1 -> relu -> conv2 -> norm2, add, relu
         z = conv(xf, "conv1", i1) + t1[:, None]
         a = jnp.maximum(z, 0.0)
         y = conv(a, "conv2", i2) + t2[:, None]
-        return jnp.maximum(xf + y, 0.0).astype(cd)
+        return jnp.maximum(xf + y, 0.0).astype(cd), None
+
+    def _next_entry_affine(self, nxt, act_scales):
+        """Fold the next block's norm1 eval affine and conv1 input scale
+        into the dual epilogue's (sb, tb): next_q = s8(clip(round(
+        max(carrier*sb + tb, 0)))). Post-act blocks feed conv1 the raw
+        (already-relu'd) carrier, so their affine is identity/scale."""
+        nkey, nblk, np_, ns_ = nxt
+        s1n = act_scales[f"{nkey}/conv1"]
+        if nblk.preact:
+            sub = {n: layer for n, layer, _ in nblk._sublayers()}
+            i1n, t1n = _bn_eval_affine(sub["norm1"], np_["norm1"],
+                                       ns_["norm1"])
+            return i1n / s1n, t1n / s1n
+        ones = jnp.ones((nblk.out_channels,), jnp.float32)
+        return ones / s1n, ones * 0.0
 
     def _block_lane_int8(self, block, p, x_cs, h, w, key, act_scales,
-                         i1, t1, i2, t2):
+                         i1, t1, i2, t2, q_in=None, nxt=None):
         """Int8 basic block, lane layout, fused requant epilogues.
 
         The s32 accumulator never leaves VMEM: each conv's dequant scale,
-        BN affine, relu, and (for conv1) the NEXT conv's quantization run
-        inside the kernel epilogue (conv3x3_lanes_requant). The only XLA
-        elementwise work left per block is the entry quantization of the
-        bf16 residual carrier — reading 2 B and writing 1 B per element —
-        vs the unfused version's 4 B s32 round trip per conv, which was
-        measured to cancel the whole int8 MXU win (trace_serving.py)."""
+        BN affine, relu, the NEXT conv's quantization (conv1), and the
+        next BLOCK's entry quantization (conv2, dual mode) all run inside
+        the kernel epilogues (conv3x3_lanes_requant). Mid-run there is NO
+        XLA elementwise work at all: q_in arrives from the previous
+        block's dual epilogue; only the first block of a run pays one
+        entry-quantize chain (2 B read, 1 B write per element) — vs the
+        unfused version's 4 B s32 round trip per conv, which was measured
+        to cancel the whole int8 MXU win (trace_serving.py).
+
+        Returns (carrier_bf16, next_block_q_or_None)."""
         s1 = act_scales[f"{key}/conv1"]
         s2 = act_scales[f"{key}/conv2"]
         w1q, w1s = self._packed_qweights(f"{key}/conv1", p["conv1"]["w"])
         w2q, w2s = self._packed_qweights(f"{key}/conv2", p["conv2"]["w"])
         x = x_cs.astype(jnp.bfloat16)  # residual carrier
+        dual = (self._next_entry_affine(nxt, act_scales)
+                if nxt is not None else None)
         zeros = jnp.zeros_like(w2s)
         if block.preact:
-            # entry: a1 = relu(norm1(x)), quantized for conv1
-            a1 = jnp.maximum(
-                x.astype(jnp.float32) * i1[:, None] + t1[:, None], 0.0)
-            q1 = _quantize_act(a1, s1)
+            if q_in is None:
+                # run entry: a1 = relu(norm1(x)), quantized for conv1
+                a1 = jnp.maximum(
+                    x.astype(jnp.float32) * i1[:, None] + t1[:, None], 0.0)
+                q_in = _quantize_act(a1, s1)
             # conv1 epilogue = dequant * norm2-inv + norm2-shift, relu,
             # quantize with conv2's input scale -> q2 directly
             q2 = conv3x3_lanes_requant(
-                q1, w1q, s1 * w1s * i2, t2, None, h=h, w_img=w,
+                q_in, w1q, s1 * w1s * i2, t2, None, h=h, w_img=w,
                 relu=True, inv_out_scale=1.0 / s2,
                 interpret=self.interpret)
             # conv2 epilogue = dequant + residual -> new bf16 carrier
-            return conv3x3_lanes_requant(
-                q2, w2q, s2 * w2s, zeros, x, h=h, w_img=w,
+            # (+ the next block's quantized input in dual mode)
+            out = conv3x3_lanes_requant(
+                q2, w2q, s2 * w2s, zeros, x, dual, h=h, w_img=w,
                 relu=False, inv_out_scale=None, interpret=self.interpret)
+            return out if dual is not None else (out, None)
         # post-act v1: conv1 -> norm1 -> relu -> conv2 -> norm2, add, relu.
         # x is post-relu (>= 0); conv1's input is x itself.
-        q1 = _quantize_act(x.astype(jnp.float32), s1)
+        if q_in is None:
+            q_in = _quantize_act(x.astype(jnp.float32), s1)
         q2 = conv3x3_lanes_requant(
-            q1, w1q, s1 * w1s * i1, t1, None, h=h, w_img=w,
+            q_in, w1q, s1 * w1s * i1, t1, None, h=h, w_img=w,
             relu=True, inv_out_scale=1.0 / s2, interpret=self.interpret)
-        return conv3x3_lanes_requant(
-            q2, w2q, s2 * w2s * i2, t2, x, h=h, w_img=w,
+        out = conv3x3_lanes_requant(
+            q2, w2q, s2 * w2s * i2, t2, x, dual, h=h, w_img=w,
             relu=True, inv_out_scale=None, interpret=self.interpret)
+        return out if dual is not None else (out, None)
 
     # --- public entry points ---------------------------------------------
 

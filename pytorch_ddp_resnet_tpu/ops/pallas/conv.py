@@ -191,19 +191,27 @@ def conv3x3_lanes(x_cs: jax.Array, w_packed: jax.Array, *, h: int,
 
 
 def _requant_kernel(x_ref, w_ref, scale_ref, shift_ref, *rest, cin, cout,
-                    h, w_img, tile, groups, relu, inv_out_scale, has_res):
+                    h, w_img, tile, groups, relu, inv_out_scale, has_res,
+                    has_dual):
     """Conv + fused requantization epilogue, all in VMEM:
         y = acc * scale[Cout] + shift[Cout] (+ res)
         if relu: y = max(y, 0)
         out = s8(clip(round(y * inv_out_scale)))  or  bf16(y)
+        out2 = s8(clip(round(max(y*sb + tb, 0))))          (dual mode)
     The epilogue is the whole point: without it the s32 accumulator makes a
     full HBM round trip per conv (4 B/elem out + 4 B/elem back in), which
     was measured to cancel the int8 MXU win end-to-end (BASELINE.md
-    "Int8 serving")."""
-    if has_res:
-        res_ref, out_ref, patch_ref = rest
+    "Int8 serving"). Dual mode additionally emits the NEXT conv's
+    quantized input (the next block's norm1 affine and input scale folded
+    into sb/tb), removing the per-block XLA entry-quantize pass."""
+    rest = list(rest)
+    res_ref = rest.pop(0) if has_res else None
+    sb_ref = rest.pop(0) if has_dual else None
+    tb_ref = rest.pop(0) if has_dual else None
+    if has_dual:
+        out_ref, out2_ref, patch_ref = rest
     else:
-        out_ref, patch_ref = rest
+        (out_ref, patch_ref), out2_ref = rest, None
     acc = _accumulate_taps(x_ref, w_ref, patch_ref, cin=cin, h=h,
                            w_img=w_img, tile=tile, groups=groups)
     y = acc.astype(jnp.float32) * scale_ref[:] + shift_ref[:]
@@ -216,14 +224,17 @@ def _requant_kernel(x_ref, w_ref, scale_ref, shift_ref, *rest, cin, cout,
         out_ref[:] = q.astype(jnp.int8)
     else:
         out_ref[:] = y.astype(out_ref.dtype)
+    if has_dual:
+        g = jnp.maximum(y * sb_ref[:] + tb_ref[:], 0.0)
+        out2_ref[:] = jnp.clip(jnp.round(g), -127.0, 127.0).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w_img", "relu", "inv_out_scale", "interpret"))
 def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
-                          shift: jax.Array, res=None, *, h: int, w_img: int,
-                          relu: bool = False, inv_out_scale=None,
-                          interpret: bool = False) -> jax.Array:
+                          shift: jax.Array, res=None, dual=None, *, h: int,
+                          w_img: int, relu: bool = False, inv_out_scale=None,
+                          interpret: bool = False):
     """Int8 stride-1 SAME 3x3 conv with the requantization epilogue fused
     into the kernel (quantized serving, models/quantize.py).
 
@@ -234,6 +245,11 @@ def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
     bf16 residual added before the relu. inv_out_scale: static float —
     when given, the output is the NEXT conv's quantized input (int8,
     symmetric per-tensor); when None the output is bf16.
+
+    dual: optional (sb, tb) pair of [Cout] f32 — bf16-output mode only;
+    emits a SECOND output s8(clip(round(max(y*sb + tb, 0)))) — the next
+    block's quantized conv1 input with its norm1 affine and input scale
+    pre-folded into sb/tb — and returns (carrier_bf16, next_q_s8).
     """
     cin, n = x_q.shape
     cout = w_q.shape[0]
@@ -242,6 +258,8 @@ def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
     hw = h * w_img
     if n % hw != 0:
         raise ValueError(f"N={n} not a multiple of H*W={hw}")
+    if dual is not None and inv_out_scale is not None:
+        raise ValueError("dual output requires the bf16-carrier mode")
     tile = _pick_tile(hw, n, max(cin, cout))
     groups = _tap_groups(cin)
     gmax = max(len(g) for g in groups)
@@ -249,13 +267,18 @@ def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
     inv = float(inv_out_scale) if inv_out_scale is not None else None
     kernel = functools.partial(
         _requant_kernel, cin=cin, cout=cout, h=h, w_img=w_img, tile=tile,
-        groups=groups, relu=relu, inv_out_scale=inv, has_res=res is not None)
+        groups=groups, relu=relu, inv_out_scale=inv, has_res=res is not None,
+        has_dual=dual is not None)
+
+    def vec():
+        return pl.BlockSpec((cout, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
         pl.BlockSpec((cin, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cout, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((cout, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        vec(), vec(),
     ]
     args = [x_q, w_q, scale.reshape(cout, 1).astype(jnp.float32),
             shift.reshape(cout, 1).astype(jnp.float32)]
@@ -263,19 +286,30 @@ def conv3x3_lanes_requant(x_q: jax.Array, w_q: jax.Array, scale: jax.Array,
         in_specs.append(pl.BlockSpec((cout, tile), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         args.append(res.astype(jnp.bfloat16))
+    if dual is not None:
+        sb, tb = dual
+        in_specs += [vec(), vec()]
+        args += [sb.reshape(cout, 1).astype(jnp.float32),
+                 tb.reshape(cout, 1).astype(jnp.float32)]
+    tile_spec = pl.BlockSpec((cout, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_specs = tile_spec if dual is None else (tile_spec, tile_spec)
+    out_shape = jax.ShapeDtypeStruct((cout, n), out_dtype)
+    if dual is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((cout, n), jnp.int8))
     return pl.pallas_call(
         kernel,
         grid=(n // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((cout, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cout, n), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((gmax * cin, tile), x_q.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * cout * 9 * cin * n,
             bytes_accessed=(cin * n
                             + cout * n * (1 if inv is not None else 2)
                             + (cout * n * 2 if res is not None else 0)
+                            + (cout * n if dual is not None else 0)
                             + cout * 9 * cin),
             transcendentals=0),
         interpret=interpret,

@@ -214,3 +214,37 @@ def test_requant_epilogue_matches_composition(relu, quant, use_res):
             np.asarray(got, np.float32),
             np.asarray(ref.astype(jnp.bfloat16), np.float32),
             rtol=0, atol=2e-2)
+
+
+def test_requant_epilogue_dual_output():
+    """Dual mode: the carrier AND the next block's quantized input come
+    out of one kernel, each matching the explicit composition."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
+        conv3x3_lanes,
+        conv3x3_lanes_requant,
+    )
+
+    rng = np.random.default_rng(1)
+    b, h, w, c = 2, 8, 16, 32
+    n = b * h * w
+    xq = jnp.asarray(rng.integers(-127, 128, size=(c, n)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(c, 9 * c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(1e-4, 1e-2, size=(c,)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(c, n)), jnp.bfloat16)
+    sb = jnp.asarray(rng.uniform(5.0, 50.0, size=(c,)), jnp.float32)
+    tb = jnp.asarray(rng.normal(size=(c,)) * 3, jnp.float32)
+    zeros = jnp.zeros((c,), jnp.float32)
+
+    carrier, nq = conv3x3_lanes_requant(
+        xq, wq, scale, zeros, res, (sb, tb), h=h, w_img=w,
+        relu=False, inv_out_scale=None, interpret=True)
+
+    y = (conv3x3_lanes(xq, wq, h=h, w_img=w, interpret=True)
+         .astype(jnp.float32) * scale[:, None] + res.astype(jnp.float32))
+    ref_q = jnp.clip(jnp.round(jnp.maximum(
+        y * sb[:, None] + tb[:, None], 0.0)), -127, 127).astype(jnp.int8)
+    assert carrier.dtype == jnp.bfloat16 and nq.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(carrier, np.float32),
+        np.asarray(y.astype(jnp.bfloat16), np.float32), rtol=0, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(nq), np.asarray(ref_q))
