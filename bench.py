@@ -69,7 +69,8 @@ def main():
                    preact=True, use_proj=True, dropout_prob=0.3,
                    compute_dtype=jnp.bfloat16,
                    pallas_conv=os.environ.get("BENCH_PALLAS_CONV") == "1",
-                   fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1")
+                   fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1",
+                   int8_train=os.environ.get("BENCH_INT8_TRAIN") == "1")
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
 

@@ -138,6 +138,16 @@ class ResidualBlock(_BlockBase):
     # XLA already fuses the targeted epilogue traffic into its in-model
     # conv kernels — so this stays default-OFF infrastructure.
     fused_block: bool = False
+    # Opt-in int8 quantization-aware training (config flag `use_int8_train`):
+    # the fused lane path with an s8 x s8 -> s32 conv core on the MXU's
+    # measured 2x int8 mode, per-channel weight scales quantized per step,
+    # per-tensor delayed activation scales carried in block state
+    # ("conv1"/"conv2" amax entries), straight-through gradients (backward
+    # kernels at the unquantized point). Applies to the same train-mode
+    # preact identity-shortcut geometry as fused_block but WITHOUT the
+    # h*w >= 2*c crossover (the int8 core win is per-conv, not
+    # epilogue-bytes-bound).
+    int8_train: bool = False
 
     @property
     def in_channels(self) -> int:
@@ -206,6 +216,14 @@ class ResidualBlock(_BlockBase):
                 params[name] = p
             if st:
                 state[name] = st
+        if self.int8_train:
+            # delayed per-tensor activation scales for the int8 conv cores:
+            # amax of each conv's input (the prologue output), refreshed by
+            # the kernel epilogue each step. Warm-started at a BN-plausible
+            # magnitude; self-corrects within a few steps (out-of-range
+            # values saturate at +-127 meanwhile).
+            for cname in ("conv1", "conv2"):
+                state[cname] = {"amax": jnp.float32(8.0)}
         return params, state, (oh, ow, cout)
 
     def _forward(self, run, x, train):
@@ -232,8 +250,8 @@ class ResidualBlock(_BlockBase):
         identity-shortcut geometry whose shapes satisfy the kernel's lane
         tiling (whole images per 128-multiple tile; uint8 dropout bits need
         channels % 32 on the sublane dim, bf16 alone needs % 16)."""
-        if not (self.fused_block and self.preact and train
-                and not self.transforms_shortcut):
+        if not ((self.fused_block or self.int8_train) and self.preact
+                and train and not self.transforms_shortcut):
             return False
         from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
             dropout_thresh)
@@ -242,15 +260,17 @@ class ResidualBlock(_BlockBase):
         if thresh <= 0:  # rate ~1 zeroes activations; fused path skips it
             return False
         b, h, w, c = x_shape
-        if c % (32 if thresh < 256 else 16) != 0:
-            return False
+        if c % (32 if (thresh < 256 or self.int8_train) else 16) != 0:
+            return False  # 32 = uint8-bits / int8 sublane tile
         # Measured crossover (BASELINE.md "Fused block-half kernels",
         # v5e b256): the fused halves win where elementwise epilogue HBM
         # traffic dominates the conv — 32x32x160 trains 1.10x faster
         # (fwd 1.30x) — but tie at 16x16x320 (0.98x) and lose at 8x8x640
         # (0.77x: the VMEM-resident wgrad accumulator forces halved
         # tiles). Fuse only above the spatial-to-channel crossover.
-        if h * w < 2 * c:
+        # The int8 path skips the crossover: its conv-core win is
+        # per-conv (2x MXU mode), not epilogue-bytes-bound.
+        if not self.int8_train and h * w < 2 * c:
             return False
         from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
 
@@ -312,6 +332,7 @@ class ResidualBlock(_BlockBase):
             dropout_thresh,
             fold_bn,
             fused_half,
+            fused_half_int8,
         )
 
         interpret = jax.default_backend() != "tpu"
@@ -351,6 +372,30 @@ class ResidualBlock(_BlockBase):
         xf = x_cs.astype(jnp.float32)
         s1, t1 = fold_and_ema("norm1", jnp.sum(xf, axis=1),
                               jnp.sum(jnp.square(xf), axis=1))
+        if self.int8_train:
+            # int8 conv cores with delayed per-tensor activation scales:
+            # sa = last step's amax / 127 (block state); the kernel emits
+            # this step's amax, tracked as a decaying running max (adapts
+            # up instantly, down in ~tens of steps; interim mismatches
+            # saturate harmlessly at +-127).
+            def amax_update(cname, amax):
+                old = state[cname]["amax"]
+                new_state[cname] = {"amax": jnp.maximum(amax, 0.95 * old)}
+
+            sa1 = state["conv1"]["amax"] / 127.0
+            z_cs, zsum, zssq, amax1 = fused_half_int8(
+                x_cs, params["conv1"]["w"], s1, t1, sa1,
+                bits_for("drop1"), None, dropout_rate=self.dropout_prob,
+                h=h, w_img=w, interpret=interpret)
+            amax_update("conv1", amax1)
+            s2, t2 = fold_and_ema("norm2", zsum, zssq)
+            sa2 = state["conv2"]["amax"] / 127.0
+            y_cs, _, _, amax2 = fused_half_int8(
+                z_cs, params["conv2"]["w"], s2, t2, sa2,
+                bits_for("drop2"), x_cs, dropout_rate=self.dropout_prob,
+                h=h, w_img=w, want_stats=False, interpret=interpret)
+            amax_update("conv2", amax2)
+            return y_cs, new_state
         z_cs, zsum, zssq = fused_half(
             x_cs, params["conv1"]["w"], s1, t1, bits_for("drop1"), None,
             dropout_rate=self.dropout_prob, h=h, w_img=w,

@@ -27,10 +27,13 @@ Scheme (standard w8a8 PTQ):
   so per-block NHWC<->lane HBM round trips don't eat the MXU win.
 
 Eligibility: basic ResidualBlocks (either ordering: preact v2 or post-act
-v1) with identity shortcuts whose convs are 3x3/s1/SAME with channel counts
-divisible by 32 (the int8 sublane tile). For the shipped configs this
-covers the entire WRN-28-10 trunk (22 of 24 convs = ~97% of the FLOPs);
-v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
+v1). Identity-shortcut blocks quantize both convs; shortcut-transforming
+transition blocks quantize conv2 (3x3/s1 at the output geometry — the
+block's FLOP bulk) with the transformed shortcut riding its requant
+epilogue, while the strided/channel-changing conv1 and the 1x1 projection
+stay bf16. Channel counts must divide 32 (the int8 sublane tile). For the
+shipped configs this covers 22 of the WRN-28-10 trunk's 24 convs (~97% of
+the FLOPs); v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
 
 Reference parity: none — the reference (lucaslingle/pytorch_ddp_resnet)
 has no serving or quantization story; this is a beyond-reference
@@ -104,6 +107,25 @@ def _block_eligible(block, shape) -> bool:
             and _conv_eligible(sub["conv2"], h * w, b * h * w))
 
 
+def _transition_out_shape(block, shape):
+    b, h, w, _ = shape
+    st = block.stride
+    return (b, (h - 1) // st + 1, (w - 1) // st + 1, block.out_channels)
+
+
+def _transition_eligible(block, shape) -> bool:
+    """Static gate for shortcut-transforming basic blocks: conv2 (3x3/s1 at
+    the output geometry) is lane-int8-eligible. conv1 (strided or
+    channel-changing) and the projection shortcut stay bf16 on XLA."""
+    if not isinstance(block, ResidualBlock) or not block.transforms_shortcut:
+        return False
+    if shape[3] != block.in_channels:
+        return False
+    b, oh, ow, _ = _transition_out_shape(block, shape)
+    sub = {name: layer for name, layer, _ in block._sublayers()}
+    return _conv_eligible(sub["conv2"], oh * ow, b * oh * ow)
+
+
 class Int8Inference:
     """Quantized eval-mode forward for a spec-built ResNet.
 
@@ -134,8 +156,12 @@ class Int8Inference:
 
     def _packed_qweights(self, key: str, w_hwio) -> Tuple[jax.Array, jax.Array]:
         if key not in self._wq:
-            w_q, scale = quantize_conv_weights(w_hwio)
-            self._wq[key] = (pack_weights(w_q), scale)
+            # eager even under an active jit trace: the cache outlives the
+            # trace (serve_fn may be jitted more than once per instance),
+            # so cached values must be concrete, not leaked tracers
+            with jax.ensure_compile_time_eval():
+                w_q, scale = quantize_conv_weights(w_hwio)
+                self._wq[key] = (pack_weights(w_q), scale)
         return self._wq[key]
 
     # --- the shared walk ---------------------------------------------------
@@ -171,6 +197,14 @@ class Int8Inference:
                 return False
             return act_scales is None or f"{key}/conv1" in act_scales
 
+        def trans_ok(idx, shape) -> bool:
+            key, obj, _, _ = items[idx]
+            if not is_block(obj) or len(shape) != 4:
+                return False
+            if not _transition_eligible(obj, shape):
+                return False
+            return act_scales is None or f"{key}/conv2" in act_scales
+
         def delane(lane):
             x_cs, (b, h, w, c) = lane
             return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
@@ -194,6 +228,20 @@ class Int8Inference:
                     obj, p, s, lane[0], lane[1], key, act_scales, stats,
                     q_in=pending_q, nxt=nxt)
                 lane = (x_cs, lane[1])
+            elif trans_ok(idx, shape):
+                # stage transition: conv1/shortcut in NHWC bf16, conv2 int8
+                # in lane layout; the run continues at the new geometry
+                if lane is not None:
+                    x, lane = delane(lane), None
+                out_shape = _transition_out_shape(obj, shape)
+                nxt = None
+                if (act_scales is not None and idx + 1 < len(items)
+                        and eligible(idx + 1, out_shape)
+                        and items[idx + 1][1].preact == obj.preact):
+                    nxt = items[idx + 1]
+                x_cs, pending_q = self._transition_lane(
+                    obj, p, s, x, key, act_scales, stats, nxt=nxt)
+                lane = (x_cs, out_shape)
             else:
                 pending_q = None
                 if lane is not None:
@@ -246,6 +294,80 @@ class Int8Inference:
         a = jnp.maximum(z, 0.0)
         y = conv(a, "conv2", i2) + t2[:, None]
         return jnp.maximum(xf + y, 0.0).astype(cd), None
+
+    def _transition_lane(self, block, p, s, x, key, act_scales, stats,
+                         nxt=None):
+        """Shortcut-transforming basic block with conv2 on the int8 lane
+        kernel. conv1 (strided / channel-changing) and the shortcut
+        (subsample + 1x1 projection or zero-pad) run bf16 NHWC on XLA;
+        conv2 — 3x3/s1 at the output geometry, the block's FLOP bulk —
+        runs int8 with the transformed shortcut riding its requant
+        epilogue (and the next block's entry quantization in dual mode).
+
+        Returns (carrier_cs [Cout, B*OH*OW], next_block_q_or_None)."""
+        from pytorch_ddp_resnet_tpu.models.blocks import (
+            _subsample, _zero_pad_channels)
+
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        cd = block.compute_dtype
+        b, oh, ow, cout = _transition_out_shape(block, x.shape)
+        n_out = b * oh * ow
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+
+        if block.preact:
+            a1 = jnp.maximum(x.astype(jnp.float32) * i1 + t1, 0.0)
+            z1, _ = sub["conv1"].apply(p["conv1"], {}, a1.astype(cd),
+                                       train=False)
+        else:
+            z1, _ = sub["conv1"].apply(p["conv1"], {}, x.astype(cd),
+                                       train=False)
+        # shortcut transforms the RAW block input (blocks.py _forward)
+        short = _subsample(x, block.stride)
+        if block.use_proj:
+            short, _ = sub["proj"].apply(p["proj"], {}, short.astype(cd),
+                                         train=False)
+        else:
+            short = _zero_pad_channels(short, cout - block.in_channels)
+        i_cs = jnp.transpose(short.astype(jnp.bfloat16),
+                             (3, 0, 1, 2)).reshape(cout, n_out)
+        z_cs = jnp.transpose(z1, (3, 0, 1, 2)).reshape(
+            cout, n_out).astype(jnp.float32)
+        # conv2's input: relu(norm2(z1)) for preact, relu(norm1(z1)) post-act
+        inv, sh = (i2, t2) if block.preact else (i1, t1)
+        a2 = jnp.maximum(z_cs * inv[:, None] + sh[:, None], 0.0)
+        ckey = f"{key}/conv2"
+
+        if act_scales is None:  # float / calibration mode
+            if stats is not None:
+                stats[ckey] = jnp.max(jnp.abs(a2))
+            y = conv3x3_lanes(a2.astype(cd),
+                              pack_weights(p["conv2"]["w"].astype(cd)),
+                              h=oh, w_img=ow,
+                              interpret=self.interpret).astype(jnp.float32)
+            res = i_cs.astype(jnp.float32)
+            if block.preact:
+                out = res + y
+            else:  # norm2 on conv2's output, add shortcut, post-relu
+                out = jnp.maximum(res + y * i2[:, None] + t2[:, None], 0.0)
+            return out.astype(cd), None
+
+        s2 = act_scales[ckey]
+        w2q, w2s = self._packed_qweights(ckey, p["conv2"]["w"])
+        q2 = _quantize_act(a2, s2)
+        dual = (self._next_entry_affine(nxt, act_scales)
+                if nxt is not None else None)
+        if block.preact:
+            out = conv3x3_lanes_requant(
+                q2, w2q, s2 * w2s, jnp.zeros_like(w2s), i_cs, dual,
+                h=oh, w_img=ow, relu=False, inv_out_scale=None,
+                interpret=self.interpret)
+        else:
+            out = conv3x3_lanes_requant(
+                q2, w2q, s2 * w2s * i2, t2, i_cs, dual,
+                h=oh, w_img=ow, relu=True, inv_out_scale=None,
+                interpret=self.interpret)
+        return out if dual is not None else (out, None)
 
     def _next_entry_affine(self, nxt, act_scales):
         """Fold the next block's norm1 eval affine and conv1 input scale

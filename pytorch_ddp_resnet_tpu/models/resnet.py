@@ -106,6 +106,7 @@ def parse_spec(
     remat: bool = False,
     pallas_conv: bool = False,
     fused_block: bool = False,
+    int8_train: bool = False,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
     tokens = architecture_spec.split()
@@ -150,7 +151,7 @@ def parse_spec(
                     preact=preact, use_proj=use_proj,
                     dropout_prob=dropout_prob, compute_dtype=cd,
                     remat=remat, pallas_conv=pallas_conv,
-                    fused_block=fused_block,
+                    fused_block=fused_block, int8_train=int8_train,
                     **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
@@ -214,6 +215,7 @@ class ResNet:
         remat: bool = False,
         pallas_conv: bool = False,
         fused_block: bool = False,
+        int8_train: bool = False,
     ):
         self.architecture_spec = architecture_spec
         self.preact = preact
@@ -223,9 +225,11 @@ class ResNet:
         self.remat = remat
         self.pallas_conv = pallas_conv
         self.fused_block = fused_block
+        self.int8_train = int8_train
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
             remat=remat, pallas_conv=pallas_conv, fused_block=fused_block,
+            int8_train=int8_train,
         )
 
     def init(self, rng, input_shape: Shape):

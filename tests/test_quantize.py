@@ -105,25 +105,31 @@ def test_ineligible_width_returns_no_scales():
     assert calibrate(inf, [x]) == {}
 
 
-def test_transforming_blocks_stay_float():
-    # WRN-shaped two-stage net: stage transitions (downsample + channel
-    # doubling) are shortcut-transforming -> only identity blocks quantize
+@pytest.mark.parametrize("preact,use_proj", [(True, True), (False, True),
+                                             (True, False)])
+def test_transition_blocks_quantize_conv2_only(preact, use_proj):
+    # WRN-shaped two-stage net: the stage transition (downsample + channel
+    # doubling) quantizes conv2 (3x3/s1 at the output geometry, shortcut
+    # riding its epilogue) while its strided conv1 / projection stay float
     spec = "c3,32,3,1,1 r2 r2 n a ap4,1,0 fc64,10"
-    model = ResNet(spec, preact=True, use_proj=True, dropout_prob=0.0,
+    model = ResNet(spec, preact=preact, use_proj=use_proj, dropout_prob=0.0,
                    compute_dtype=jnp.bfloat16)
     params, state = model.init(jax.random.PRNGKey(0), (8, 8, 3))
     # batch 8: stage 2 is 4x4 spatial, so B*H*W needs 8 images to reach a
     # 128-lane tile (smaller batches leave stage 2 float — also correct)
     x = _batch(n=8)
     inf = Int8Inference(model, params, state)
-    _, stats = jax.jit(inf.calibrate_fn())(x)
+    ql_f, stats = jax.jit(inf.calibrate_fn())(x)
     keys = sorted(stats)
     assert "01_stack/block0/conv1" in keys          # identity block
-    assert not any(k.startswith("02_stack/block0/") for k in keys)  # downsample
+    assert "02_stack/block0/conv2" in keys          # transition conv2
+    assert "02_stack/block0/conv1" not in keys      # strided conv stays float
     assert "02_stack/block1/conv1" in keys          # identity after transition
+    ref, _ = model.apply(params, state, x, train=False)
+    np.testing.assert_allclose(np.asarray(ql_f), np.asarray(ref),
+                               rtol=0, atol=2e-2)  # float walk still matches
     scales = calibrate(inf, [x])
     ql = jax.jit(inf.serve_fn(scales))(x)
-    ref, _ = model.apply(params, state, x, train=False)
     assert (jnp.argmax(ql, -1) == jnp.argmax(ref, -1)).all()
 
 
