@@ -140,13 +140,12 @@ class ResidualBlock(_BlockBase):
     fused_block: bool = False
     # Opt-in int8 quantization-aware training (config flag `use_int8_train`):
     # the fused lane path with an s8 x s8 -> s32 conv core on the MXU's
-    # measured 2x int8 mode, per-channel weight scales quantized per step,
-    # per-tensor delayed activation scales carried in block state
-    # ("conv1"/"conv2" amax entries), straight-through gradients (backward
-    # kernels at the unquantized point). Applies to the same train-mode
-    # preact identity-shortcut geometry as fused_block but WITHOUT the
-    # h*w >= 2*c crossover (the int8 core win is per-conv, not
-    # epilogue-bytes-bound).
+    # measured 2x int8 mode — per-channel weight scales quantized per step,
+    # per-TILE dynamic activation scales computed inside the kernel (exact,
+    # stateless), straight-through gradients (backward kernels at the
+    # unquantized point). Applies to the same train-mode preact
+    # identity-shortcut geometry as fused_block but WITHOUT the h*w >= 2*c
+    # crossover (the int8 core win is per-conv, not epilogue-bytes-bound).
     int8_train: bool = False
 
     @property
@@ -216,14 +215,6 @@ class ResidualBlock(_BlockBase):
                 params[name] = p
             if st:
                 state[name] = st
-        if self.int8_train:
-            # delayed per-tensor activation scales for the int8 conv cores:
-            # amax of each conv's input (the prologue output), refreshed by
-            # the kernel epilogue each step. Warm-started at a BN-plausible
-            # magnitude; self-corrects within a few steps (out-of-range
-            # values saturate at +-127 meanwhile).
-            for cname in ("conv1", "conv2"):
-                state[cname] = {"amax": jnp.float32(8.0)}
         return params, state, (oh, ow, cout)
 
     def _forward(self, run, x, train):
@@ -372,36 +363,17 @@ class ResidualBlock(_BlockBase):
         xf = x_cs.astype(jnp.float32)
         s1, t1 = fold_and_ema("norm1", jnp.sum(xf, axis=1),
                               jnp.sum(jnp.square(xf), axis=1))
-        if self.int8_train:
-            # int8 conv cores with delayed per-tensor activation scales:
-            # sa = last step's amax / 127 (block state); the kernel emits
-            # this step's amax, tracked as a decaying running max (adapts
-            # up instantly, down in ~tens of steps; interim mismatches
-            # saturate harmlessly at +-127).
-            def amax_update(cname, amax):
-                old = state[cname]["amax"]
-                new_state[cname] = {"amax": jnp.maximum(amax, 0.95 * old)}
-
-            sa1 = state["conv1"]["amax"] / 127.0
-            z_cs, zsum, zssq, amax1 = fused_half_int8(
-                x_cs, params["conv1"]["w"], s1, t1, sa1,
-                bits_for("drop1"), None, dropout_rate=self.dropout_prob,
-                h=h, w_img=w, interpret=interpret)
-            amax_update("conv1", amax1)
-            s2, t2 = fold_and_ema("norm2", zsum, zssq)
-            sa2 = state["conv2"]["amax"] / 127.0
-            y_cs, _, _, amax2 = fused_half_int8(
-                z_cs, params["conv2"]["w"], s2, t2, sa2,
-                bits_for("drop2"), x_cs, dropout_rate=self.dropout_prob,
-                h=h, w_img=w, want_stats=False, interpret=interpret)
-            amax_update("conv2", amax2)
-            return y_cs, new_state
-        z_cs, zsum, zssq = fused_half(
+        # int8_train swaps in the s8 x s8 -> s32 conv cores (per-tile
+        # dynamic activation scales inside the kernel, per-channel weight
+        # scales per step, straight-through gradients); the wiring is
+        # otherwise identical to the bf16 fused path.
+        half = fused_half_int8 if self.int8_train else fused_half
+        z_cs, zsum, zssq = half(
             x_cs, params["conv1"]["w"], s1, t1, bits_for("drop1"), None,
             dropout_rate=self.dropout_prob, h=h, w_img=w,
             interpret=interpret)
         s2, t2 = fold_and_ema("norm2", zsum, zssq)
-        y_cs, _, _ = fused_half(
+        y_cs, _, _ = half(
             z_cs, params["conv2"]["w"], s2, t2, bits_for("drop2"), x_cs,
             dropout_rate=self.dropout_prob, h=h, w_img=w,
             want_stats=False, interpret=interpret)
