@@ -183,10 +183,13 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         # (ops/pallas/fused_block.py; benchmarked in BASELINE.md)
         fused_block=config.get("use_fused_block", False),
         # opt-in int8 quantization-aware training: fused lane path with
-        # s8 x s8 -> s32 conv cores on the 2x int8 MXU mode, delayed
-        # per-tensor activation scales in block state, straight-through
-        # gradients (ops/pallas/fused_block.py fused_half_int8)
-        int8_train=config.get("use_int8_train", False),
+        # s8 x s8 -> s32 conv cores on the 2x int8 MXU mode, per-tile
+        # dynamic activation scales, straight-through gradients
+        # (ops/pallas/fused_block.py fused_half_int8); _bwd additionally
+        # quantizes the dgrad/wgrad convs (fully quantized training)
+        int8_train=(config.get("use_int8_train", False)
+                    or config.get("use_int8_train_bwd", False)),
+        int8_train_bwd=config.get("use_int8_train_bwd", False),
     )
     optimizer = get_optimizer(
         config.get("optimizer_cls_name"), config.get("optimizer_args"))

@@ -31,6 +31,7 @@ kaiming_normal pass touches only top-level convs (resnet.py:160-163).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -147,6 +148,13 @@ class ResidualBlock(_BlockBase):
     # identity-shortcut geometry as fused_block but WITHOUT the h*w >= 2*c
     # crossover (the int8 core win is per-conv, not epilogue-bytes-bound).
     int8_train: bool = False
+    # Opt-in fully-quantized training (config flag `use_int8_train_bwd`,
+    # implies int8_train): the dgrad and wgrad convs ALSO run on the int8
+    # MXU mode with per-tile dynamic gradient scales — the gradient
+    # becomes an int8-grain estimate (Banner et al. 2018-style FQT), so
+    # this carries its own accuracy gate, separate from the
+    # straight-through fwd-only mode above.
+    int8_train_bwd: bool = False
 
     @property
     def in_channels(self) -> int:
@@ -366,8 +374,13 @@ class ResidualBlock(_BlockBase):
         # int8_train swaps in the s8 x s8 -> s32 conv cores (per-tile
         # dynamic activation scales inside the kernel, per-channel weight
         # scales per step, straight-through gradients); the wiring is
-        # otherwise identical to the bf16 fused path.
-        half = fused_half_int8 if self.int8_train else fused_half
+        # otherwise identical to the bf16 fused path. int8_train_bwd
+        # additionally quantizes the dgrad/wgrad convs (FQT).
+        if self.int8_train:
+            half = functools.partial(fused_half_int8,
+                                     quant_bwd=self.int8_train_bwd)
+        else:
+            half = fused_half
         z_cs, zsum, zssq = half(
             x_cs, params["conv1"]["w"], s1, t1, bits_for("drop1"), None,
             dropout_rate=self.dropout_prob, h=h, w_img=w,

@@ -107,6 +107,7 @@ def parse_spec(
     pallas_conv: bool = False,
     fused_block: bool = False,
     int8_train: bool = False,
+    int8_train_bwd: bool = False,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
     tokens = architecture_spec.split()
@@ -152,6 +153,7 @@ def parse_spec(
                     dropout_prob=dropout_prob, compute_dtype=cd,
                     remat=remat, pallas_conv=pallas_conv,
                     fused_block=fused_block, int8_train=int8_train,
+                    int8_train_bwd=int8_train_bwd,
                     **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
@@ -216,6 +218,7 @@ class ResNet:
         pallas_conv: bool = False,
         fused_block: bool = False,
         int8_train: bool = False,
+        int8_train_bwd: bool = False,
     ):
         self.architecture_spec = architecture_spec
         self.preact = preact
@@ -226,10 +229,11 @@ class ResNet:
         self.pallas_conv = pallas_conv
         self.fused_block = fused_block
         self.int8_train = int8_train
+        self.int8_train_bwd = int8_train_bwd
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
             remat=remat, pallas_conv=pallas_conv, fused_block=fused_block,
-            int8_train=int8_train,
+            int8_train=int8_train, int8_train_bwd=int8_train_bwd,
         )
 
     def init(self, rng, input_shape: Shape):
