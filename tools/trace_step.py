@@ -54,7 +54,10 @@ def build_chunk(steps: int):
                    preact=True, use_proj=True, dropout_prob=0.3,
                    compute_dtype=jnp.bfloat16,
                    pallas_conv=os.environ.get("BENCH_PALLAS_CONV") == "1",
-                   fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1")
+                   fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1",
+                   int8_train=(os.environ.get("BENCH_INT8_TRAIN") == "1"
+                               or os.environ.get("BENCH_INT8_BWD") == "1"),
+                   int8_train_bwd=os.environ.get("BENCH_INT8_BWD") == "1")
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
     ds = load_synthetic(None, train=True, n_train=4096,
