@@ -190,6 +190,9 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         int8_train=(config.get("use_int8_train", False)
                     or config.get("use_int8_train_bwd", False)),
         int8_train_bwd=config.get("use_int8_train_bwd", False),
+        # pod runs: the fused/int8 lane paths dispatch per-shard via
+        # shard_map over this mesh's 'data' axis (models/blocks.py)
+        shard_mesh=mesh if mesh.size > 1 else None,
     )
     optimizer = get_optimizer(
         config.get("optimizer_cls_name"), config.get("optimizer_args"))

@@ -155,6 +155,14 @@ class ResidualBlock(_BlockBase):
     # this carries its own accuracy gate, separate from the
     # straight-through fwd-only mode above.
     int8_train_bwd: bool = False
+    # Mesh for pod runs of the fused/int8 lane paths. The XLA SPMD
+    # partitioner treats Mosaic custom calls as opaque and would gather
+    # batch-sharded operands around them; with a mesh here each fused
+    # half instead runs under jax.shard_map — local kernels on each
+    # device's batch shard, sync-BN statistic sums jax.lax.psum'd over
+    # the 'data' axis (equivalence on the 8-device CPU mesh:
+    # tests/test_parallel.py). None (default) = single-chip dispatch.
+    shard_mesh: Any = None
 
     @property
     def in_channels(self) -> int:
@@ -273,11 +281,20 @@ class ResidualBlock(_BlockBase):
             return False
         from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
 
+        # Pod runs (shard_mesh set): each device's kernel sees only its
+        # batch shard, so the tiling constraint applies to the LOCAL n.
+        d = self._data_shards()
+        if b % d != 0:
+            return False
         try:
-            _pick_tile(h * w, b * h * w, c)
+            _pick_tile(h * w, (b // d) * h * w, c)
         except ValueError:
             return False
         return True
+
+    def _data_shards(self) -> int:
+        mesh = self.shard_mesh
+        return 1 if mesh is None else int(mesh.shape.get("data", 1))
 
     def _apply_impl(self, params, state, x, *, train, rng=None):
         if self._fused_eligible(x.shape, train):
@@ -381,15 +398,69 @@ class ResidualBlock(_BlockBase):
                                      quant_bwd=self.int8_train_bwd)
         else:
             half = fused_half
-        z_cs, zsum, zssq = half(
-            x_cs, params["conv1"]["w"], s1, t1, bits_for("drop1"), None,
-            dropout_rate=self.dropout_prob, h=h, w_img=w,
-            interpret=interpret)
+
+        d = self._data_shards()
+
+        def run_half(x_in, w_conv, s, t, name, res, want_stats):
+            if d == 1:
+                return half(
+                    x_in, w_conv, s, t, bits_for(name), res,
+                    dropout_rate=self.dropout_prob, h=h, w_img=w,
+                    want_stats=want_stats, interpret=interpret)
+            # Pod path: the SPMD partitioner can't see into the Mosaic
+            # custom call, so run it under shard_map — each device's
+            # kernel on its local batch shard (lane dim N is batch-major,
+            # so P(None, 'data') IS batch sharding), weights/affines
+            # replicated, and the epilogue statistic sums psum'd to keep
+            # exact sync-BN semantics. Dropout bits are drawn per shard
+            # (decorrelated via axis_index) over the local shape — the
+            # same sanctioned bit-stream divergence as the lane layout
+            # itself. check_vma=False: Pallas calls don't carry a
+            # replication rule.
+            from jax.sharding import PartitionSpec as P
+
+            key = (jax.random.fold_in(rng, idx[name])
+                   if thresh < 256 else None)
+
+            def local(x_l, w_l, s_l, t_l, *rest):
+                rest = list(rest)
+                key_l = rest.pop(0) if key is not None else None
+                res_l = rest.pop(0) if res is not None else None
+                bits_l = None
+                if key_l is not None:
+                    bits_l = jax.random.bits(
+                        jax.random.fold_in(
+                            key_l, jax.lax.axis_index("data")),
+                        (c, x_l.shape[1]), dtype=jnp.uint8)
+                y_l, zs, zq = half(
+                    x_l, w_l, s_l, t_l, bits_l, res_l,
+                    dropout_rate=self.dropout_prob, h=h, w_img=w,
+                    want_stats=want_stats, interpret=interpret)
+                if not want_stats:
+                    return y_l
+                return (y_l, jax.lax.psum(zs, "data"),
+                        jax.lax.psum(zq, "data"))
+
+            in_specs = [P(None, "data"), P(), P(), P()]
+            args = [x_in, w_conv, s, t]
+            if key is not None:
+                in_specs.append(P())
+                args.append(key)
+            if res is not None:
+                in_specs.append(P(None, "data"))
+                args.append(res)
+            out_specs = ((P(None, "data"), P(), P()) if want_stats
+                         else P(None, "data"))
+            out = jax.shard_map(
+                local, mesh=self.shard_mesh, in_specs=tuple(in_specs),
+                out_specs=out_specs, check_vma=False)(*args)
+            return out if want_stats else (out, None, None)
+
+        z_cs, zsum, zssq = run_half(
+            x_cs, params["conv1"]["w"], s1, t1, "drop1", None, True)
         s2, t2 = fold_and_ema("norm2", zsum, zssq)
-        y_cs, _, _ = half(
-            z_cs, params["conv2"]["w"], s2, t2, bits_for("drop2"), x_cs,
-            dropout_rate=self.dropout_prob, h=h, w_img=w,
-            want_stats=False, interpret=interpret)
+        y_cs, _, _ = run_half(
+            z_cs, params["conv2"]["w"], s2, t2, "drop2", x_cs, False)
         return y_cs, new_state
 
 
@@ -408,10 +479,14 @@ class BottleneckResidualBlock(_BlockBase):
     width_override: Optional[int] = None
     stride_override: Optional[int] = None
     pallas_conv: bool = False
-    # Accepted for spec-builder uniformity; the fused block-half path is
-    # implemented for the basic preact trunk (where the measured win is) —
-    # bottleneck blocks always take the layer-by-layer path.
+    # Accepted for spec-builder uniformity; the fused block-half / int8
+    # training paths are implemented for the basic preact trunk (where
+    # the measured win is; bottlenecks are 1x1-dominated) — bottleneck
+    # blocks always take the layer-by-layer path.
     fused_block: bool = False
+    int8_train: bool = False
+    int8_train_bwd: bool = False
+    shard_mesh: Any = None
 
     @property
     def in_channels(self) -> int:

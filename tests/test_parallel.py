@@ -190,3 +190,81 @@ def test_sharded_fused_block_matches_single_device():
                     jax.tree_util.tree_leaves(ts8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def _grad_and_state(model, params, state, x, y):
+    def loss(p):
+        logits, ns = model.apply(p, state, x, train=True,
+                                 rng=jax.random.key(1))
+        oh = jax.nn.one_hot(y, 10)
+        return -jnp.mean(jnp.sum(
+            jax.nn.log_softmax(logits) * oh, -1)), ns
+    (l, ns), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+    return float(l), g, ns
+
+
+def test_shard_mesh_fused_block_matches_single_device():
+    """With `shard_mesh` threaded (pod mode), the bf16 fused path runs
+    per-shard kernels under shard_map with psum'd sync-BN sums — and must
+    match the single-device result near-exactly (f32 reduction-order
+    noise only), INCLUDING the backward through the psum."""
+    spec = "c3,32,3,1,1 r2 n a ap8,1,0 fc32,10"
+    kw = dict(preact=True, use_proj=False, dropout_prob=0.0,
+              compute_dtype=jnp.float32, fused_block=True)
+    mesh = make_mesh()
+    m1 = ResNet(spec, **kw)
+    m8 = ResNet(spec, shard_mesh=mesh, **kw)
+    params, state = m1.init(jax.random.PRNGKey(0), (8, 8, 3))
+    x, y = _batch(16, seed=3)
+    l1, g1, ns1 = _grad_and_state(m1, params, state, jnp.asarray(x),
+                                  jnp.asarray(y))
+    pd = jax.device_put(params, replicated_sharding(mesh))
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    l8, g8, ns8 = _grad_and_state(m8, pd, state, xd, jnp.asarray(y))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g8),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ns8),
+                    jax.tree_util.tree_leaves(ns1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_shard_mesh_int8_fqt_close_to_single_device():
+    """The int8 FQT path under shard_mesh: per-TILE activation/gradient
+    scales see a different tile decomposition per shard, so outputs and
+    gradients are int8-grain CLOSE (not equal) to single-device — the
+    full update direction must agree within a few percent, and BN EMA
+    state must track."""
+    spec = "c3,32,3,1,1 r2 n a ap8,1,0 fc32,10"
+    kw = dict(preact=True, use_proj=False, dropout_prob=0.0,
+              compute_dtype=jnp.float32, int8_train=True,
+              int8_train_bwd=True)
+    mesh = make_mesh()
+    m1 = ResNet(spec, **kw)
+    m8 = ResNet(spec, shard_mesh=mesh, **kw)
+    params, state = m1.init(jax.random.PRNGKey(0), (8, 8, 3))
+    x, y = _batch(16, seed=4)
+    l1, g1, ns1 = _grad_and_state(m1, params, state, jnp.asarray(x),
+                                  jnp.asarray(y))
+    pd = jax.device_put(params, replicated_sharding(mesh))
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    l8, g8, ns8 = _grad_and_state(m8, pd, state, xd, jnp.asarray(y))
+    assert abs(l1 - l8) < 0.02
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    leaves8 = jax.tree_util.tree_leaves(g8)
+    glob = np.sqrt(sum(float(np.square(np.asarray(b, np.float32)).sum())
+                       for b in leaves1))
+    dglob = np.sqrt(sum(
+        float(np.square(np.asarray(a, np.float32)
+                        - np.asarray(b, np.float32)).sum())
+        for a, b in zip(leaves8, leaves1)))
+    assert dglob / glob < 0.1, dglob / glob
+    assert all(bool(jnp.isfinite(a).all())
+               for a in leaves8)
+    for a, b in zip(jax.tree_util.tree_leaves(ns8),
+                    jax.tree_util.tree_leaves(ns1)):
+        assert np.abs(np.asarray(a, np.float32)
+                      - np.asarray(b, np.float32)).max() < 0.05
