@@ -61,15 +61,16 @@ def _tap_groups(cin: int):
     return [taps[i:i + g] for i in range(0, 9, g)]
 
 
-def _pick_tile(hw: int, n: int, c: int = 160) -> int:
+def _pick_tile(hw: int, n: int, c: int = 160, max_tile: int = 2048) -> int:
     """Lane-tile size: a multiple of the per-image spatial size (so image
     boundaries never cross a tile and rolls need no halo) that is also a
     multiple of 128 and divides the total. The target shrinks with the
     channel count: VMEM holds x/out/patch-scratch/f32-acc tiles all
     proportional to c*tile, and c=320 at tile 2048 blows the 16MB scoped
     VMEM limit on v5e (measured: 19.2M > 16M); c*tile <= 160*2048 fits
-    with room."""
-    target = max(128, min(2048, (160 * 2048) // max(c, 1)))
+    with room. max_tile lifts the cap for callers whose per-tile working
+    set is int8 (the quantized training kernels)."""
+    target = max(128, min(max_tile, (160 * 2048) // max(c, 1)))
     t = hw
     while t < target and (t * 2) <= n and n % (t * 2) == 0:
         t *= 2
