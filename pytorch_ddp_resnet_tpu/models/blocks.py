@@ -299,6 +299,11 @@ class ResidualBlock(_BlockBase):
     def _apply_impl(self, params, state, x, *, train, rng=None):
         if self._fused_eligible(x.shape, train):
             return self._forward_fused(params, state, x, rng=rng)
+        if self.lane_entry_eligible(x.shape, train):
+            y_cs, (b, oh, ow, c), ns = self._transition_lane(
+                params, state, x, train=train, rng=rng)
+            return jnp.transpose(
+                y_cs.reshape(c, b, oh, ow), (1, 2, 3, 0)), ns
         return super()._apply_impl(params, state, x, train=train, rng=rng)
 
     def lane_eligible(self, x_shape, train: bool) -> bool:
@@ -317,6 +322,122 @@ class ResidualBlock(_BlockBase):
 
             return jax.checkpoint(f)(params, state, x_cs)
         return self._forward_lane(params, state, x_cs, x_shape, rng=rng)
+
+    def lane_entry_eligible(self, x_shape, train: bool) -> bool:
+        """True when this STAGE-TRANSITION block should run its conv2 on
+        the int8 path (the training analog of the serving path's v4
+        transition quantization, models/quantize.py): conv1 is strided
+        and stays bf16, but conv2 — the block's FLOP bulk, stride-1 3x3
+        at the OUTPUT geometry — is fused_half_int8 with the projection
+        shortcut riding its epilogue, and the block EMITS lane layout,
+        seeding the next stage's lane run (so the entry transpose
+        replaces, not adds to, the run's)."""
+        if not (self.int8_train and self.preact and train
+                and self.transforms_shortcut):
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh)
+
+        if dropout_thresh(self.dropout_prob) <= 0:
+            return False
+        if len(x_shape) != 4:
+            return False
+        b, h, w, _ = x_shape
+        s, cout = self.stride, self.out_channels
+        oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
+        if cout % 32 != 0:
+            return False
+        d = self._data_shards()
+        if b % d != 0:
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
+
+        try:
+            _pick_tile(oh * ow, (b // d) * oh * ow, cout)
+        except ValueError:
+            return False
+        return True
+
+    def apply_to_lane(self, params, state, x, *, train, rng=None):
+        """Transition block with an int8 conv2: NHWC in, LANE out.
+
+        norm1/drop1/conv1/proj run the standard XLA layers (bitwise
+        identical to _forward — conv1 is strided, ineligible for the
+        lane kernels); norm2+relu+drop2+conv2+residual ride one
+        fused_half_int8 call at the output geometry, with norm2's batch
+        statistics computed from conv1's output and its EMA updated
+        exactly like BatchNorm.apply. Returns (y_cs, out_shape,
+        new_state)."""
+        if self.remat:
+            def f(p, s, xx):
+                return self._transition_lane(p, s, xx, train=train, rng=rng)
+
+            return jax.checkpoint(f)(params, state, x)
+        return self._transition_lane(params, state, x, train=train, rng=rng)
+
+    def _transition_lane(self, params, state, x, *, train, rng):
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh,
+            fold_bn,
+            fused_half_int8,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        sub = {name: (layer, i)
+               for i, (name, layer, _) in enumerate(self._sublayers())}
+        new_state = dict(state)
+
+        def run(name, v):
+            layer, i = sub[name]
+            sub_rng = jax.random.fold_in(rng, i) if rng is not None else None
+            y, s = layer.apply(params.get(name, {}), state.get(name, {}), v,
+                               train=train, rng=sub_rng)
+            if s:
+                new_state[name] = s
+            return y
+
+        i_in = x
+        z = run("conv1", run("drop1", jnp.maximum(run("norm1", x), 0)))
+        b, oh, ow, cout = z.shape
+        n = b * oh * ow
+
+        # norm2 batch stats from conv1's output; EMA exactly as
+        # BatchNorm.apply (biased normalize, unbiased running var)
+        bn = sub["norm2"][0]
+        zf = z.astype(jnp.float32)
+        mean = jnp.mean(zf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(zf), axis=(0, 1, 2)) - jnp.square(mean)
+        p2, st2 = params["norm2"], state["norm2"]
+        s2, t2 = fold_bn(p2["scale"], p2["bias"], mean, var, bn.eps)
+        m = bn.momentum
+        new_state["norm2"] = {
+            "mean": (1 - m) * st2["mean"] + m * mean,
+            "var": (1 - m) * st2["var"] + m * var * (n / max(n - 1, 1)),
+            "count": st2["count"] + 1,
+        }
+
+        # shortcut from the RAW block input (same as _forward)
+        i_in = _subsample(i_in, self.stride)
+        if self.use_proj:
+            i_in = run("proj", i_in)
+        else:
+            i_in = _zero_pad_channels(
+                i_in, self.out_channels - self.in_channels)
+
+        cd = self.compute_dtype
+        z_cs = jnp.transpose(z.astype(cd), (3, 0, 1, 2)).reshape(cout, n)
+        res_cs = jnp.transpose(i_in.astype(cd),
+                               (3, 0, 1, 2)).reshape(cout, n)
+
+        thresh = dropout_thresh(self.dropout_prob)
+        key = (jax.random.fold_in(rng, sub["drop2"][1])
+               if thresh < 256 else None)
+        half = functools.partial(fused_half_int8,
+                                 quant_bwd=self.int8_train_bwd)
+        y_cs, _, _ = self._run_half(
+            half, z_cs, params["conv2"]["w"], s2, t2, key, res_cs,
+            False, oh, ow, cout, interpret)
+        return y_cs, (b, oh, ow, cout), new_state
 
     def _forward_fused(self, params, state, x, *, rng):
         b, h, w, c = x.shape
@@ -378,12 +499,6 @@ class ResidualBlock(_BlockBase):
 
         thresh = dropout_thresh(self.dropout_prob)
 
-        def bits_for(name):
-            if thresh >= 256:
-                return None
-            return jax.random.bits(jax.random.fold_in(rng, idx[name]),
-                                   (c, n), dtype=jnp.uint8)
-
         x_cs = x_cs.astype(self.compute_dtype)  # no-op from the fused chain
         xf = x_cs.astype(jnp.float32)
         s1, t1 = fold_and_ema("norm1", jnp.sum(xf, axis=1),
@@ -399,62 +514,11 @@ class ResidualBlock(_BlockBase):
         else:
             half = fused_half
 
-        d = self._data_shards()
-
         def run_half(x_in, w_conv, s, t, name, res, want_stats):
-            if d == 1:
-                return half(
-                    x_in, w_conv, s, t, bits_for(name), res,
-                    dropout_rate=self.dropout_prob, h=h, w_img=w,
-                    want_stats=want_stats, interpret=interpret)
-            # Pod path: the SPMD partitioner can't see into the Mosaic
-            # custom call, so run it under shard_map — each device's
-            # kernel on its local batch shard (lane dim N is batch-major,
-            # so P(None, 'data') IS batch sharding), weights/affines
-            # replicated, and the epilogue statistic sums psum'd to keep
-            # exact sync-BN semantics. Dropout bits are drawn per shard
-            # (decorrelated via axis_index) over the local shape — the
-            # same sanctioned bit-stream divergence as the lane layout
-            # itself. check_vma=False: Pallas calls don't carry a
-            # replication rule.
-            from jax.sharding import PartitionSpec as P
-
             key = (jax.random.fold_in(rng, idx[name])
                    if thresh < 256 else None)
-
-            def local(x_l, w_l, s_l, t_l, *rest):
-                rest = list(rest)
-                key_l = rest.pop(0) if key is not None else None
-                res_l = rest.pop(0) if res is not None else None
-                bits_l = None
-                if key_l is not None:
-                    bits_l = jax.random.bits(
-                        jax.random.fold_in(
-                            key_l, jax.lax.axis_index("data")),
-                        (c, x_l.shape[1]), dtype=jnp.uint8)
-                y_l, zs, zq = half(
-                    x_l, w_l, s_l, t_l, bits_l, res_l,
-                    dropout_rate=self.dropout_prob, h=h, w_img=w,
-                    want_stats=want_stats, interpret=interpret)
-                if not want_stats:
-                    return y_l
-                return (y_l, jax.lax.psum(zs, "data"),
-                        jax.lax.psum(zq, "data"))
-
-            in_specs = [P(None, "data"), P(), P(), P()]
-            args = [x_in, w_conv, s, t]
-            if key is not None:
-                in_specs.append(P())
-                args.append(key)
-            if res is not None:
-                in_specs.append(P(None, "data"))
-                args.append(res)
-            out_specs = ((P(None, "data"), P(), P()) if want_stats
-                         else P(None, "data"))
-            out = jax.shard_map(
-                local, mesh=self.shard_mesh, in_specs=tuple(in_specs),
-                out_specs=out_specs, check_vma=False)(*args)
-            return out if want_stats else (out, None, None)
+            return self._run_half(half, x_in, w_conv, s, t, key, res,
+                                  want_stats, h, w, c, interpret)
 
         z_cs, zsum, zssq = run_half(
             x_cs, params["conv1"]["w"], s1, t1, "drop1", None, True)
@@ -462,6 +526,63 @@ class ResidualBlock(_BlockBase):
         y_cs, _, _ = run_half(
             z_cs, params["conv2"]["w"], s2, t2, "drop2", x_cs, False)
         return y_cs, new_state
+
+    def _run_half(self, half, x_in, w_conv, s, t, key, res, want_stats,
+                  h, w, c, interpret):
+        """Dispatch one fused half: directly on a single chip, or — on a
+        pod mesh — under shard_map: the SPMD partitioner can't see into
+        the Mosaic custom call, so each device runs the kernel on its
+        local batch shard (lane dim N is batch-major, so P(None, 'data')
+        IS batch sharding), weights/affines replicated, and the epilogue
+        statistic sums psum'd to keep exact sync-BN semantics. Dropout
+        bits are drawn from `key` over the (local) lane shape —
+        per-shard, decorrelated via axis_index — the same sanctioned
+        bit-stream divergence as the lane layout itself. check_vma=False:
+        Pallas calls don't carry a replication rule."""
+        d = self._data_shards()
+        if d == 1:
+            bits = (jax.random.bits(key, (c, x_in.shape[1]),
+                                    dtype=jnp.uint8)
+                    if key is not None else None)
+            return half(
+                x_in, w_conv, s, t, bits, res,
+                dropout_rate=self.dropout_prob, h=h, w_img=w,
+                want_stats=want_stats, interpret=interpret)
+        from jax.sharding import PartitionSpec as P
+
+        def local(x_l, w_l, s_l, t_l, *rest):
+            rest = list(rest)
+            key_l = rest.pop(0) if key is not None else None
+            res_l = rest.pop(0) if res is not None else None
+            bits_l = None
+            if key_l is not None:
+                bits_l = jax.random.bits(
+                    jax.random.fold_in(
+                        key_l, jax.lax.axis_index("data")),
+                    (c, x_l.shape[1]), dtype=jnp.uint8)
+            y_l, zs, zq = half(
+                x_l, w_l, s_l, t_l, bits_l, res_l,
+                dropout_rate=self.dropout_prob, h=h, w_img=w,
+                want_stats=want_stats, interpret=interpret)
+            if not want_stats:
+                return y_l
+            return (y_l, jax.lax.psum(zs, "data"),
+                    jax.lax.psum(zq, "data"))
+
+        in_specs = [P(None, "data"), P(), P(), P()]
+        args = [x_in, w_conv, s, t]
+        if key is not None:
+            in_specs.append(P())
+            args.append(key)
+        if res is not None:
+            in_specs.append(P(None, "data"))
+            args.append(res)
+        out_specs = ((P(None, "data"), P(), P()) if want_stats
+                     else P(None, "data"))
+        out = jax.shard_map(
+            local, mesh=self.shard_mesh, in_specs=tuple(in_specs),
+            out_specs=out_specs, check_vma=False)(*args)
+        return out if want_stats else (out, None, None)
 
 
 @dataclass(frozen=True)

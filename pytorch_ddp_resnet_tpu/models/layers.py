@@ -386,6 +386,18 @@ class Sequential(Layer):
                     params.get(name, {}), state.get(name, {}), lane[0],
                     lane[1], train=train, rng=layer_rng)
                 lane = (x_cs, lane[1])
+            elif (hasattr(layer, "apply_to_lane") and shape is not None
+                  and len(shape) == 4
+                  and layer.lane_entry_eligible(shape, train)):
+                # stage-TRANSITION block on the int8 path: consumes NHWC,
+                # EMITS lane layout — the exit of the previous run and the
+                # entry of the next collapse into this block
+                if lane is not None:
+                    x, lane = delane(lane), None
+                x_cs, out_shape, s = layer.apply_to_lane(
+                    params.get(name, {}), state.get(name, {}), x,
+                    train=train, rng=layer_rng)
+                lane = (x_cs, out_shape)
             else:
                 if lane is not None:
                     x, lane = delane(lane), None

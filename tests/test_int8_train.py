@@ -335,3 +335,101 @@ def test_model_int8_bwd_train_step(rng_np):
                         - np.asarray(b, np.float32)).sum())
         for a, b in zip(leaves_fq, leaves_q)))
     assert num_g / glob < 0.05, num_g / glob
+
+
+# --- stage-transition blocks (int8 conv2 via the lane-entry protocol) --------
+
+
+def _trans_blocks(c=32, **kw):
+    mk = lambda **more: ResidualBlock(
+        channels=c, downsample=True, preact=True, use_proj=True,
+        dropout_prob=0.0, compute_dtype=jnp.float32, **more)
+    return mk(int8_train=True, int8_train_bwd=True, **kw), mk()
+
+
+def test_transition_block_int8_close_to_normal(rng_np):
+    """A downsample/projection block with int8_train runs conv2 on the
+    int8 path (norm2+relu+conv2+proj-residual in one fused_half_int8) —
+    outputs and BN EMA state within int8-grain of the standard path."""
+    bq, bn = _trans_blocks()
+    params, state, _ = bn.init(jax.random.key(0), (8, 8, 32))
+    assert bq.lane_entry_eligible((16, 8, 8, 32), True)
+    assert not bn.lane_entry_eligible((16, 8, 8, 32), True)  # int8 off
+    assert not bq.lane_entry_eligible((16, 8, 8, 32), False)  # eval
+    x = jnp.asarray(rng_np.normal(size=(16, 8, 8, 32)), jnp.float32)
+    y_n, st_n = bn.apply(params, state, x, train=True, rng=jax.random.key(1))
+    y_q, st_q = bq.apply(params, state, x, train=True, rng=jax.random.key(1))
+    an, aq = np.asarray(y_n, np.float32), np.asarray(y_q, np.float32)
+    assert aq.shape == an.shape == (16, 4, 4, 64)
+    assert np.abs(aq - an).max() / (np.abs(an).max() + 1e-9) < 0.05
+    assert np.abs(aq - an).max() > 0  # the int8 path really engaged
+    for name in ("norm1", "norm2"):
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(st_q[name][k]), np.asarray(st_n[name][k]),
+                atol=1e-3)
+
+
+def test_transition_block_int8_grads_close(rng_np):
+    bq, bn = _trans_blocks()
+    params, state, _ = bn.init(jax.random.key(0), (8, 8, 32))
+    x = jnp.asarray(rng_np.normal(size=(16, 8, 8, 32)), jnp.float32)
+
+    def loss_of(block):
+        def f(p):
+            y, _ = block.apply(p, state, x, train=True,
+                               rng=jax.random.key(1))
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+        return f
+
+    g_q = jax.grad(loss_of(bq))(params)
+    g_n = jax.grad(loss_of(bn))(params)
+    leaves_n = jax.tree_util.tree_leaves(g_n)
+    glob = np.sqrt(sum(float(np.square(np.asarray(b, np.float32)).sum())
+                       for b in leaves_n))
+    for a, b in zip(jax.tree_util.tree_leaves(g_q), leaves_n):
+        af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(af).all()
+        num = np.linalg.norm(af - bf)
+        assert num < max(0.1 * np.linalg.norm(bf), 2e-2 * glob), af.shape
+
+
+def test_transition_block_eval_uses_normal_path(rng_np):
+    bq, bn = _trans_blocks()
+    params, state, _ = bn.init(jax.random.key(0), (8, 8, 32))
+    x = jnp.asarray(rng_np.normal(size=(16, 8, 8, 32)), jnp.float32)
+    y_n, _ = bn.apply(params, state, x, train=False)
+    y_q, _ = bq.apply(params, state, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_n, np.float32),
+                                  np.asarray(y_q, np.float32))
+
+
+def test_transition_lane_entry_threads_through_sequential(rng_np):
+    """In a multi-stage model, the transition block consumes NHWC and
+    emits LANE layout (Sequential lane-entry branch): end-to-end training
+    step stays finite and close to the non-quantized model."""
+    from pytorch_ddp_resnet_tpu.models import ResNet
+
+    kw = dict(preact=True, use_proj=True, dropout_prob=0.3,
+              compute_dtype=jnp.bfloat16)
+    spec = "c3,32,3,1,1 r2 r2 n a ap4,1,0 fc64,10"
+    mq = ResNet(spec, int8_train=True, int8_train_bwd=True, **kw)
+    mn = ResNet(spec, **kw)
+    params, state = mq.init(jax.random.PRNGKey(0), (8, 8, 3))
+    x = jnp.asarray(rng_np.normal(size=(16, 8, 8, 3)), jnp.float32)
+    y = jnp.asarray(rng_np.integers(0, 10, size=(16,)), jnp.int32)
+
+    def loss_fn(model, p):
+        logits, ns = model.apply(p, state, x, train=True,
+                                 rng=jax.random.key(1))
+        one_hot = jax.nn.one_hot(y, 10)
+        return -jnp.mean(jnp.sum(
+            jax.nn.log_softmax(logits) * one_hot, axis=-1)), ns
+
+    (loss_q, _), grads = jax.value_and_grad(
+        lambda p: loss_fn(mq, p), has_aux=True)(params)
+    loss_n, _ = loss_fn(mn, params)
+    assert bool(jnp.isfinite(loss_q))
+    assert abs(float(loss_q) - float(loss_n)) < 0.15  # dropout streams differ
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.isfinite(leaf).all())
