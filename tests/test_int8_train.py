@@ -340,18 +340,20 @@ def test_model_int8_bwd_train_step(rng_np):
 # --- stage-transition blocks (int8 conv2 via the lane-entry protocol) --------
 
 
-def _trans_blocks(c=32, **kw):
+def _trans_blocks(c=32, use_proj=True, **kw):
     mk = lambda **more: ResidualBlock(
-        channels=c, downsample=True, preact=True, use_proj=True,
+        channels=c, downsample=True, preact=True, use_proj=use_proj,
         dropout_prob=0.0, compute_dtype=jnp.float32, **more)
     return mk(int8_train=True, int8_train_bwd=True, **kw), mk()
 
 
-def test_transition_block_int8_close_to_normal(rng_np):
-    """A downsample/projection block with int8_train runs conv2 on the
-    int8 path (norm2+relu+conv2+proj-residual in one fused_half_int8) —
+@pytest.mark.parametrize("use_proj", [True, False])
+def test_transition_block_int8_close_to_normal(rng_np, use_proj):
+    """A downsample block with int8_train runs conv2 on the int8 path
+    (norm2+relu+conv2+residual in one fused_half_int8, the shortcut —
+    1x1 projection or option-A zero-pad — riding its epilogue) —
     outputs and BN EMA state within int8-grain of the standard path."""
-    bq, bn = _trans_blocks()
+    bq, bn = _trans_blocks(use_proj=use_proj)
     params, state, _ = bn.init(jax.random.key(0), (8, 8, 32))
     assert bq.lane_entry_eligible((16, 8, 8, 32), True)
     assert not bn.lane_entry_eligible((16, 8, 8, 32), True)  # int8 off
