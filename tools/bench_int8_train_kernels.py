@@ -102,7 +102,7 @@ def main():
             for _ in range(k):
                 y, s, q = half(x, wts, scale, shift, bits, None,
                                dropout_rate=RATE, h=h, w_img=w)
-                x = (y + (s + q) * 1e-9).astype(x.dtype)
+                x = (y + ((s + q) * 1e-9)[:, None]).astype(x.dtype)
             return x
 
         def chain_vjp(x, wts, half, k=args.inner):
