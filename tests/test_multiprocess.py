@@ -247,7 +247,8 @@ def test_four_process_chunked_async_training_and_resume(tmp_path):
         f.write("steps_per_dispatch: 3\nasync_checkpoint: true\n"
                 "dataset_args: {n_train: 48, n_test: 32}\n")
 
-    digests = _launch("train", workdir, nproc=4, dev_per_proc=1)
+    digests = _launch("train", workdir, nproc=4, dev_per_proc=1,
+                      retries=4)
     vals = [d["params"] for d in digests]
     for v in vals[1:]:
         np.testing.assert_allclose(v, vals[0], rtol=1e-6)
@@ -263,7 +264,8 @@ def test_four_process_chunked_async_training_and_resume(tmp_path):
         cfg = f.read()
     with open(cfg_path, "w") as f:
         f.write(cfg.replace("max_steps: 6", "max_steps: 12"))
-    digests2 = _launch("train", workdir, nproc=4, dev_per_proc=1)
+    digests2 = _launch("train", workdir, nproc=4, dev_per_proc=1,
+                       retries=4)
     vals2 = [d["params"] for d in digests2]
     for v in vals2[1:]:
         np.testing.assert_allclose(v, vals2[0], rtol=1e-6)
