@@ -435,3 +435,26 @@ def test_transition_lane_entry_threads_through_sequential(rng_np):
     assert abs(float(loss_q) - float(loss_n)) < 0.15  # dropout streams differ
     for leaf in jax.tree_util.tree_leaves(grads):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_transition_int8_with_remat(rng_np):
+    """remat=True wraps apply_to_lane in jax.checkpoint — the static
+    shape tuple must survive and the grads stay finite."""
+    from pytorch_ddp_resnet_tpu.models import ResNet
+
+    m = ResNet("c3,32,3,1,1 r2 r2 n a ap4,1,0 fc64,10", int8_train=True,
+               int8_train_bwd=True, preact=True, use_proj=True,
+               dropout_prob=0.3, compute_dtype=jnp.bfloat16, remat=True)
+    p, s = m.init(jax.random.PRNGKey(0), (8, 8, 3))
+    x = jnp.asarray(rng_np.normal(size=(16, 8, 8, 3)), jnp.float32)
+    y = jnp.asarray(rng_np.integers(0, 10, size=(16,)), jnp.int32)
+
+    def lf(p):
+        logits, _ = m.apply(p, s, x, train=True, rng=jax.random.key(1))
+        oh = jax.nn.one_hot(y, 10)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    l, g = jax.value_and_grad(lf)(p)
+    assert bool(jnp.isfinite(l))
+    assert all(bool(jnp.isfinite(t).all())
+               for t in jax.tree_util.tree_leaves(g))
