@@ -11,6 +11,13 @@ applications inside ONE dispatch, measured dispatch RTT subtracted
 (per-iteration readbacks on this tunneled host cost 12-37 ms and would
 swamp millisecond kernels).
 
+CAVEAT (measured 2026-08-18): the *_fwd_ms chains report implausibly
+low absolutes at the 320/640 stages (down to 0.001 ms — XLA evidently
+collapses parts of the repeated-apply chain despite the loop-carried
+data dependence). Use the *_train_ms columns and A/B DELTAS only; for
+absolute per-kernel attribution use tools/trace_step.py's xplane
+aggregation, which reads the real train step's trace.
+
     PYTHONPATH="/root/repo:$PYTHONPATH" \
         JAX_COMPILATION_CACHE_DIR=/root/.jax_tpu_cache \
         python tools/bench_int8_train_kernels.py [--batch 256] [--inner 8]
