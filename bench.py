@@ -68,11 +68,17 @@ def main():
     # or int8_qat; BENCH_PALLAS_CONV=1 (lane-packed conv kernels);
     # BENCH_FUSED_BLOCK=1 (bf16 fused block-halves). BASELINE.md has the
     # measured verdict for each.
-    bench_mode = os.environ.get("BENCH_MODE", "int8_fqt")
-    if os.environ.get("BENCH_INT8_TRAIN") == "1":  # legacy knobs
-        bench_mode = "int8_qat"
-    if os.environ.get("BENCH_INT8_BWD") == "1":
-        bench_mode = "int8_fqt"
+    bench_mode = os.environ.get("BENCH_MODE")
+    if bench_mode is None:  # legacy knobs apply only when BENCH_MODE unset
+        if os.environ.get("BENCH_INT8_BWD") == "1":
+            bench_mode = "int8_fqt"
+        elif os.environ.get("BENCH_INT8_TRAIN") == "1":
+            bench_mode = "int8_qat"
+        else:
+            bench_mode = "int8_fqt"
+    if bench_mode not in ("bf16", "int8_qat", "int8_fqt"):
+        raise SystemExit(f"BENCH_MODE={bench_mode!r}: expected one of "
+                         "bf16, int8_qat, int8_fqt")
     model = ResNet("c3,160,3,1,1 r4 r4 r4 n a ap8,1,0 fc640,10",
                    preact=True, use_proj=True, dropout_prob=0.3,
                    compute_dtype=jnp.bfloat16,

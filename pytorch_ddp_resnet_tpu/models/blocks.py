@@ -70,6 +70,25 @@ def _zero_pad_channels(x, extra: int):
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, extra)))
 
 
+def _fold_bn_batch_and_ema(bn, p, st, mean, var, n):
+    """Shared by both fused paths: fold batch stats into (scale, shift)
+    and produce the EMA-updated BatchNorm state, mirroring
+    BatchNorm.apply exactly (biased normalize, unbiased running var,
+    count increment). Any change to BatchNorm's train-mode semantics in
+    layers.py must land here too — tests/test_fused_block.py and
+    tests/test_int8_train.py assert the parity."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import fold_bn
+
+    scale, shift = fold_bn(p["scale"], p["bias"], mean, var, bn.eps)
+    m = bn.momentum
+    new_st = {
+        "mean": (1 - m) * st["mean"] + m * mean,
+        "var": (1 - m) * st["var"] + m * var * (n / max(n - 1, 1)),
+        "count": st["count"] + 1,
+    }
+    return scale, shift, new_st
+
+
 class _BlockBase(Layer):
     """Shared apply scaffolding for both block types.
 
@@ -378,7 +397,6 @@ class ResidualBlock(_BlockBase):
     def _transition_lane(self, params, state, x, *, train, rng):
         from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
             dropout_thresh,
-            fold_bn,
             fused_half_int8,
         )
 
@@ -401,20 +419,12 @@ class ResidualBlock(_BlockBase):
         b, oh, ow, cout = z.shape
         n = b * oh * ow
 
-        # norm2 batch stats from conv1's output; EMA exactly as
-        # BatchNorm.apply (biased normalize, unbiased running var)
-        bn = sub["norm2"][0]
+        # norm2 batch stats from conv1's output
         zf = z.astype(jnp.float32)
         mean = jnp.mean(zf, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(zf), axis=(0, 1, 2)) - jnp.square(mean)
-        p2, st2 = params["norm2"], state["norm2"]
-        s2, t2 = fold_bn(p2["scale"], p2["bias"], mean, var, bn.eps)
-        m = bn.momentum
-        new_state["norm2"] = {
-            "mean": (1 - m) * st2["mean"] + m * mean,
-            "var": (1 - m) * st2["var"] + m * var * (n / max(n - 1, 1)),
-            "count": st2["count"] + 1,
-        }
+        s2, t2, new_state["norm2"] = _fold_bn_batch_and_ema(
+            sub["norm2"][0], params["norm2"], state["norm2"], mean, var, n)
 
         # shortcut from the RAW block input (same as _forward)
         i_in = _subsample(i_in, self.stride)
@@ -467,7 +477,6 @@ class ResidualBlock(_BlockBase):
         """
         from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
             dropout_thresh,
-            fold_bn,
             fused_half,
             fused_half_int8,
         )
@@ -481,20 +490,11 @@ class ResidualBlock(_BlockBase):
         new_state = dict(state)
 
         def fold_and_ema(name, ssum, sssq):
-            # batch mean/var from the per-channel sums; EMA update mirrors
-            # BatchNorm.apply (biased normalize, unbiased running var)
-            bn = layers[name]
-            p, st = params[name], state[name]
+            # batch mean/var from the per-channel sums
             mean = ssum / n
             var = sssq / n - jnp.square(mean)
-            scale, shift = fold_bn(p["scale"], p["bias"], mean, var, bn.eps)
-            unbiased = var * (n / max(n - 1, 1))
-            m = bn.momentum
-            new_state[name] = {
-                "mean": (1 - m) * st["mean"] + m * mean,
-                "var": (1 - m) * st["var"] + m * unbiased,
-                "count": st["count"] + 1,
-            }
+            scale, shift, new_state[name] = _fold_bn_batch_and_ema(
+                layers[name], params[name], state[name], mean, var, n)
             return scale, shift
 
         thresh = dropout_thresh(self.dropout_prob)
