@@ -26,14 +26,19 @@ Scheme (standard w8a8 PTQ):
   hoisting the fused-block train path uses (models/layers.py Sequential) —
   so per-block NHWC<->lane HBM round trips don't eat the MXU win.
 
-Eligibility: basic ResidualBlocks (either ordering: preact v2 or post-act
-v1). Identity-shortcut blocks quantize both convs; shortcut-transforming
-transition blocks quantize conv2 (3x3/s1 at the output geometry — the
-block's FLOP bulk) with the transformed shortcut riding its requant
-epilogue, while the strided/channel-changing conv1 and the 1x1 projection
-stay bf16. Channel counts must divide 32 (the int8 sublane tile). For the
-shipped configs this covers 22 of the WRN-28-10 trunk's 24 convs (~97% of
-the FLOPs); v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
+Eligibility: basic AND bottleneck residual blocks (either ordering:
+preact v2 or post-act v1). Identity-shortcut basic blocks quantize both
+3x3s; identity-shortcut bottleneck blocks quantize all three convs (the
+two 1x1s run as lane matmuls, ops/pallas/conv1x1.py — they carry ~55%
+of ResNet-50's FLOPs); shortcut-transforming basic transition blocks
+quantize conv2 (3x3/s1 at the output geometry — the block's FLOP bulk)
+with the transformed shortcut riding its requant epilogue, while the
+strided/channel-changing conv1 and the 1x1 projection stay bf16
+(bottleneck transitions fall back to float wholesale). Channel counts
+must divide 32 (the int8 sublane tile) and B*H*W must divide 128 (the
+lane tile). For the shipped configs this covers 22 of the WRN-28-10
+trunk's 24 convs (~97% of the FLOPs) and 36 of ResNet-50's 52 trunk
+convs; v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
 
 Reference parity: none — the reference (lucaslingle/pytorch_ddp_resnet)
 has no serving or quantization story; this is a beyond-reference
@@ -50,13 +55,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pytorch_ddp_resnet_tpu.models.blocks import ResidualBlock
+from pytorch_ddp_resnet_tpu.models.blocks import (
+    BottleneckResidualBlock,
+    ResidualBlock,
+)
 from pytorch_ddp_resnet_tpu.models.layers import Sequential
 from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     _pick_tile,
     conv3x3_lanes,
     conv3x3_lanes_requant,
     pack_weights,
+)
+from pytorch_ddp_resnet_tpu.ops.pallas.conv1x1 import (
+    conv1x1_lanes_requant,
+    pack_weights_1x1,
 )
 
 
@@ -96,15 +108,33 @@ def _conv_eligible(conv, hw: int, n: int) -> bool:
     return True
 
 
+def _conv1x1_eligible(conv, n: int) -> bool:
+    """1x1 stride-1 convs run as lane matmuls (ops/pallas/conv1x1.py):
+    no spatial constraint, just the 128-lane / 32-sublane int8 tiles."""
+    return (conv.kernel_size == 1 and conv.stride == 1
+            and not conv.use_bias and n % 128 == 0
+            and conv.in_channels % 32 == 0 and conv.out_channels % 32 == 0)
+
+
 def _block_eligible(block, shape) -> bool:
-    """Static gate: basic residual block, identity shortcut, both convs
-    int8-lane-eligible at this activation geometry."""
-    if not isinstance(block, ResidualBlock) or block.transforms_shortcut:
-        return False
+    """Static gate: identity-shortcut residual block whose convs are all
+    int8-lane-eligible at this activation geometry. Basic blocks need
+    both 3x3s eligible; bottleneck blocks additionally run their two
+    1x1s as lane matmuls (the bottleneck family is 1x1-dominated —
+    ~55% of ResNet-50's FLOPs)."""
     b, h, w, c = shape
+    n = b * h * w
+    if getattr(block, "transforms_shortcut", True):
+        return False
     sub = {name: layer for name, layer, _ in block._sublayers()}
-    return (_conv_eligible(sub["conv1"], h * w, b * h * w)
-            and _conv_eligible(sub["conv2"], h * w, b * h * w))
+    if isinstance(block, BottleneckResidualBlock):
+        return (_conv1x1_eligible(sub["conv1"], n)
+                and _conv_eligible(sub["conv2"], h * w, n)
+                and _conv1x1_eligible(sub["conv3"], n))
+    if isinstance(block, ResidualBlock):
+        return (_conv_eligible(sub["conv1"], h * w, n)
+                and _conv_eligible(sub["conv2"], h * w, n))
+    return False
 
 
 def _transition_out_shape(block, shape):
@@ -161,7 +191,9 @@ class Int8Inference:
             # so cached values must be concrete, not leaked tracers
             with jax.ensure_compile_time_eval():
                 w_q, scale = quantize_conv_weights(w_hwio)
-                self._wq[key] = (pack_weights(w_q), scale)
+                pack = (pack_weights_1x1 if w_q.shape[0] == 1
+                        else pack_weights)
+                self._wq[key] = (pack(w_q), scale)
         return self._wq[key]
 
     # --- the shared walk ---------------------------------------------------
@@ -187,7 +219,7 @@ class Int8Inference:
                               state.get(name, {})))
 
         def is_block(obj):
-            return isinstance(obj, ResidualBlock)
+            return isinstance(obj, (ResidualBlock, BottleneckResidualBlock))
 
         def eligible(idx, shape) -> bool:
             key, obj, _, _ = items[idx]
@@ -253,8 +285,11 @@ class Int8Inference:
 
     def _block_lane(self, block, p, s, x_cs, shape, key, act_scales, stats,
                     q_in=None, nxt=None):
-        """One eligible basic block in lane layout [C, B*H*W]. Returns
+        """One eligible residual block in lane layout [C, B*H*W]. Returns
         (new_carrier, next_block_q_or_None)."""
+        if isinstance(block, BottleneckResidualBlock):
+            return self._bneck_lane(block, p, s, x_cs, shape, key,
+                                    act_scales, stats, q_in=q_in, nxt=nxt)
         b, h, w, c = shape
         sub = {n: layer for n, layer, _ in block._sublayers()}
         i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
@@ -294,6 +329,110 @@ class Int8Inference:
         a = jnp.maximum(z, 0.0)
         y = conv(a, "conv2", i2) + t2[:, None]
         return jnp.maximum(xf + y, 0.0).astype(cd), None
+
+    def _bneck_lane(self, block, p, s, x_cs, shape, key, act_scales, stats,
+                    q_in=None, nxt=None):
+        """One eligible bottleneck block in lane layout [C, B*H*W]: the
+        two 1x1s run as lane matmuls (conv1x1_lanes_requant), the mid
+        3x3 on the 3x3 lane kernel, every requant interlude fused into
+        the epilogues exactly like the basic path (block semantics:
+        reference residual_block.py:102-215)."""
+        b, h, w, c = shape
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+        i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
+        cd = block.compute_dtype
+
+        if act_scales is not None:
+            return self._bneck_lane_int8(
+                block, p, x_cs, h, w, key, act_scales,
+                (i1, t1, i2, t2, i3, t3), q_in=q_in, nxt=nxt)
+
+        xf = x_cs.astype(jnp.float32)
+
+        def conv1x1(a_f32, cname, bn_inv):
+            ckey = f"{key}/{cname}"
+            if stats is not None:
+                stats[ckey] = jnp.max(jnp.abs(a_f32))
+            wt = pack_weights_1x1(p[cname]["w"]).astype(cd)  # [Cout, Cin]
+            yf = jnp.dot(wt, a_f32.astype(cd)).astype(jnp.float32)
+            return yf * bn_inv[:, None] if bn_inv is not None else yf
+
+        def conv3(a_f32, cname, bn_inv):
+            ckey = f"{key}/{cname}"
+            if stats is not None:
+                stats[ckey] = jnp.max(jnp.abs(a_f32))
+            y = conv3x3_lanes(a_f32.astype(cd),
+                              pack_weights(p[cname]["w"].astype(cd)),
+                              h=h, w_img=w, interpret=self.interpret)
+            yf = y.astype(jnp.float32)
+            return yf * bn_inv[:, None] if bn_inv is not None else yf
+
+        if block.preact:
+            a1 = jnp.maximum(xf * i1[:, None] + t1[:, None], 0.0)
+            z1 = conv1x1(a1, "conv1", i2) + t2[:, None]
+            a2 = jnp.maximum(z1, 0.0)
+            z2 = conv3(a2, "conv2", i3) + t3[:, None]
+            a3 = jnp.maximum(z2, 0.0)
+            y = conv1x1(a3, "conv3", None)
+            return (xf + y).astype(cd), None
+        # post-act v1: conv->norm->relu x2, conv3->norm3, add, relu
+        z1 = conv1x1(xf, "conv1", i1) + t1[:, None]
+        a1 = jnp.maximum(z1, 0.0)
+        z2 = conv3(a1, "conv2", i2) + t2[:, None]
+        a2 = jnp.maximum(z2, 0.0)
+        z3 = conv1x1(a2, "conv3", i3) + t3[:, None]
+        return jnp.maximum(xf + z3, 0.0).astype(cd), None
+
+    def _bneck_lane_int8(self, block, p, x_cs, h, w, key, act_scales,
+                         affines, q_in=None, nxt=None):
+        """Int8 bottleneck block, lane layout, fused requant epilogues —
+        the three-conv analog of _block_lane_int8: mid-run blocks have
+        zero XLA elementwise work (entry arrives quantized from the
+        previous block's dual epilogue; conv1's epilogue quantizes for
+        conv2, conv2's for conv3; conv3's emits the bf16 carrier +
+        residual and, in dual mode, the next block's entry)."""
+        i1, t1, i2, t2, i3, t3 = affines
+        s1 = act_scales[f"{key}/conv1"]
+        s2 = act_scales[f"{key}/conv2"]
+        s3 = act_scales[f"{key}/conv3"]
+        w1q, w1s = self._packed_qweights(f"{key}/conv1", p["conv1"]["w"])
+        w2q, w2s = self._packed_qweights(f"{key}/conv2", p["conv2"]["w"])
+        w3q, w3s = self._packed_qweights(f"{key}/conv3", p["conv3"]["w"])
+        x = x_cs.astype(jnp.bfloat16)  # residual carrier
+        dual = (self._next_entry_affine(nxt, act_scales)
+                if nxt is not None else None)
+        zeros = jnp.zeros_like(w3s)
+        if block.preact:
+            if q_in is None:
+                a1 = jnp.maximum(
+                    x.astype(jnp.float32) * i1[:, None] + t1[:, None], 0.0)
+                q_in = _quantize_act(a1, s1)
+            q2 = conv1x1_lanes_requant(
+                q_in, w1q, s1 * w1s * i2, t2, relu=True,
+                inv_out_scale=1.0 / s2, interpret=self.interpret)
+            q3 = conv3x3_lanes_requant(
+                q2, w2q, s2 * w2s * i3, t3, h=h, w_img=w, relu=True,
+                inv_out_scale=1.0 / s3, interpret=self.interpret)
+            out = conv1x1_lanes_requant(
+                q3, w3q, s3 * w3s, zeros, x, dual, relu=False,
+                inv_out_scale=None, interpret=self.interpret)
+            return out if dual is not None else (out, None)
+        # post-act: conv3's epilogue applies norm3, adds the shortcut,
+        # then the post-add relu
+        if q_in is None:
+            q_in = _quantize_act(x.astype(jnp.float32), s1)
+        q2 = conv1x1_lanes_requant(
+            q_in, w1q, s1 * w1s * i1, t1, relu=True,
+            inv_out_scale=1.0 / s2, interpret=self.interpret)
+        q3 = conv3x3_lanes_requant(
+            q2, w2q, s2 * w2s * i2, t2, h=h, w_img=w, relu=True,
+            inv_out_scale=1.0 / s3, interpret=self.interpret)
+        out = conv1x1_lanes_requant(
+            q3, w3q, s3 * w3s * i3, t3, x, dual, relu=True,
+            inv_out_scale=None, interpret=self.interpret)
+        return out if dual is not None else (out, None)
 
     def _transition_lane(self, block, p, s, x, key, act_scales, stats,
                          nxt=None):
