@@ -28,17 +28,34 @@ Scheme (standard w8a8 PTQ):
 
 Eligibility: basic AND bottleneck residual blocks (either ordering:
 preact v2 or post-act v1). Identity-shortcut basic blocks quantize both
-3x3s; identity-shortcut bottleneck blocks quantize all three convs (the
-two 1x1s run as lane matmuls, ops/pallas/conv1x1.py — they carry ~55%
-of ResNet-50's FLOPs); shortcut-transforming basic transition blocks
+3x3s on the lane kernels; shortcut-transforming basic transition blocks
 quantize conv2 (3x3/s1 at the output geometry — the block's FLOP bulk)
 with the transformed shortcut riding its requant epilogue, while the
-strided/channel-changing conv1 and the 1x1 projection stay bf16
-(bottleneck transitions fall back to float wholesale). Channel counts
-must divide 32 (the int8 sublane tile) and B*H*W must divide 128 (the
-lane tile). For the shipped configs this covers 22 of the WRN-28-10
-trunk's 24 convs (~97% of the FLOPs) and 36 of ResNet-50's 52 trunk
-convs; v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
+strided/channel-changing conv1 and the 1x1 projection stay bf16. For
+the basic family, channel counts must divide 32 (the int8 sublane
+tile) and B*H*W must divide 128 (the lane tile); for the shipped
+configs this covers 22 of the WRN-28-10 trunk's 24 convs (~97% of the
+FLOPs); v1 CIFAR nets (16/32/64 channels) fall back to bf16 wholesale.
+
+Bottleneck blocks take a different substrate, chosen by measurement
+(BASELINE.md "Int8 serving, bottleneck family"): identity-shortcut
+blocks stay in NHWC and run their two 1x1s as XLA int8 ``dot_general``
+(which DOES engage the v5e 2x int8 MXU mode — unlike XLA's conv
+lowering), with the quant/dequant/BN/relu interludes left to XLA's
+elementwise fusion; the mid 3x3 stays bf16 XLA. The pallas lane-matmul
+1x1 (ops/pallas/conv1x1.py) wins 2.2-2.9x at kernel level but LOSES
+end-to-end (0.50x measured on ResNet-50 @224): its custom-call layout
+constraints force full-tensor layout copies against XLA's preferred
+conv layouts at every block — the same custom-call-boundary lesson as
+the bf16 fused block-half, now on the serving axis. The 3x3 lane
+kernel cannot serve ImageNet geometries at all: HW with a 49 factor
+forces 6272-lane whole-image tiles, overflowing the 16MB scoped VMEM
+at width >= 128 (compile-time OOM, now guarded in _pick_tile) and
+measured slower than bf16 XLA at width 64. Bottleneck eligibility is
+a measured crossover, N = B*H*W >= 32 * in_channels: the int8 dots
+win 1.29-1.35x per block at ResNet-50 stages 1-2, are neutral at
+stage 3, and lose 0.44x at stage 4 where the quantize chains dwarf the
+tiny dots. Bottleneck transitions stay float wholesale.
 
 Reference parity: none — the reference (lucaslingle/pytorch_ddp_resnet)
 has no serving or quantization story; this is a beyond-reference
@@ -65,10 +82,6 @@ from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     conv3x3_lanes,
     conv3x3_lanes_requant,
     pack_weights,
-)
-from pytorch_ddp_resnet_tpu.ops.pallas.conv1x1 import (
-    conv1x1_lanes_requant,
-    pack_weights_1x1,
 )
 
 
@@ -108,33 +121,42 @@ def _conv_eligible(conv, hw: int, n: int) -> bool:
     return True
 
 
-def _conv1x1_eligible(conv, n: int) -> bool:
-    """1x1 stride-1 convs run as lane matmuls (ops/pallas/conv1x1.py):
-    no spatial constraint, just the 128-lane / 32-sublane int8 tiles."""
-    return (conv.kernel_size == 1 and conv.stride == 1
-            and not conv.use_bias and n % 128 == 0
-            and conv.in_channels % 32 == 0 and conv.out_channels % 32 == 0)
+def _conv1x1_ok(conv) -> bool:
+    """Structural gate for a 1x1 run as an XLA int8 dot_general: no
+    alignment constraints (XLA owns the layouts), just the shape family
+    the dot path implements."""
+    return conv.kernel_size == 1 and conv.stride == 1 and not conv.use_bias
 
 
 def _block_eligible(block, shape) -> bool:
-    """Static gate: identity-shortcut residual block whose convs are all
-    int8-lane-eligible at this activation geometry. Basic blocks need
-    both 3x3s eligible; bottleneck blocks additionally run their two
-    1x1s as lane matmuls (the bottleneck family is 1x1-dominated —
-    ~55% of ResNet-50's FLOPs)."""
+    """Static gate for the LANE-kernel path: identity-shortcut basic
+    residual block with both 3x3s int8-lane-eligible at this activation
+    geometry. (Bottleneck blocks take the NHWC XLA-dot path instead —
+    _bneck_eligible.)"""
     b, h, w, c = shape
     n = b * h * w
-    if getattr(block, "transforms_shortcut", True):
+    if not isinstance(block, ResidualBlock) or block.transforms_shortcut:
         return False
     sub = {name: layer for name, layer, _ in block._sublayers()}
-    if isinstance(block, BottleneckResidualBlock):
-        return (_conv1x1_eligible(sub["conv1"], n)
-                and _conv_eligible(sub["conv2"], h * w, n)
-                and _conv1x1_eligible(sub["conv3"], n))
-    if isinstance(block, ResidualBlock):
-        return (_conv_eligible(sub["conv1"], h * w, n)
-                and _conv_eligible(sub["conv2"], h * w, n))
-    return False
+    return (_conv_eligible(sub["conv1"], h * w, n)
+            and _conv_eligible(sub["conv2"], h * w, n))
+
+
+def _bneck_eligible(block, shape) -> bool:
+    """Static gate for the NHWC int8-dot bottleneck path: identity
+    shortcut, structural 1x1s, and the measured crossover N >= 32*Cin
+    (per-block A/B at the ResNet-50 stage shapes, BASELINE.md: the int8
+    dots win 1.29-1.35x where activations dwarf the quantize chains,
+    lose 0.44x at the 7x7 stage where they don't)."""
+    if not isinstance(block, BottleneckResidualBlock):
+        return False
+    if getattr(block, "transforms_shortcut", True):
+        return False
+    b, h, w, c = shape
+    sub = {name: layer for name, layer, _ in block._sublayers()}
+    return (_conv1x1_ok(sub["conv1"]) and _conv1x1_ok(sub["conv3"])
+            and sub["conv2"].stride == 1
+            and b * h * w >= 32 * block.in_channels)
 
 
 def _transition_out_shape(block, shape):
@@ -191,9 +213,17 @@ class Int8Inference:
             # so cached values must be concrete, not leaked tracers
             with jax.ensure_compile_time_eval():
                 w_q, scale = quantize_conv_weights(w_hwio)
-                pack = (pack_weights_1x1 if w_q.shape[0] == 1
-                        else pack_weights)
-                self._wq[key] = (pack(w_q), scale)
+                self._wq[key] = (pack_weights(w_q), scale)
+        return self._wq[key]
+
+    def _qweights_nhwc(self, key: str, w_hwio) -> Tuple[jax.Array, jax.Array]:
+        """1x1 weights for the NHWC int8-dot bottleneck path: [Cin, Cout]
+        int8 + per-output-channel scale [Cout]."""
+        if key not in self._wq:
+            with jax.ensure_compile_time_eval():
+                w_q, scale = quantize_conv_weights(w_hwio)
+                kh, kw, cin, cout = w_q.shape
+                self._wq[key] = (w_q.reshape(cin, cout), scale)
         return self._wq[key]
 
     # --- the shared walk ---------------------------------------------------
@@ -219,13 +249,19 @@ class Int8Inference:
                               state.get(name, {})))
 
         def is_block(obj):
-            return isinstance(obj, (ResidualBlock, BottleneckResidualBlock))
+            return isinstance(obj, ResidualBlock)
 
         def eligible(idx, shape) -> bool:
             key, obj, _, _ = items[idx]
             if not is_block(obj) or len(shape) != 4:
                 return False
             if not _block_eligible(obj, shape):
+                return False
+            return act_scales is None or f"{key}/conv1" in act_scales
+
+        def bneck_ok(idx, shape) -> bool:
+            key, obj, _, _ = items[idx]
+            if len(shape) != 4 or not _bneck_eligible(obj, shape):
                 return False
             return act_scales is None or f"{key}/conv1" in act_scales
 
@@ -260,6 +296,12 @@ class Int8Inference:
                     obj, p, s, lane[0], lane[1], key, act_scales, stats,
                     q_in=pending_q, nxt=nxt)
                 lane = (x_cs, lane[1])
+            elif bneck_ok(idx, shape):
+                # bottleneck: NHWC, int8 XLA dots, no lane carrier
+                pending_q = None
+                if lane is not None:
+                    x, lane = delane(lane), None
+                x = self._bneck_nhwc(obj, p, s, x, key, act_scales, stats)
             elif trans_ok(idx, shape):
                 # stage transition: conv1/shortcut in NHWC bf16, conv2 int8
                 # in lane layout; the run continues at the new geometry
@@ -285,11 +327,8 @@ class Int8Inference:
 
     def _block_lane(self, block, p, s, x_cs, shape, key, act_scales, stats,
                     q_in=None, nxt=None):
-        """One eligible residual block in lane layout [C, B*H*W]. Returns
+        """One eligible basic block in lane layout [C, B*H*W]. Returns
         (new_carrier, next_block_q_or_None)."""
-        if isinstance(block, BottleneckResidualBlock):
-            return self._bneck_lane(block, p, s, x_cs, shape, key,
-                                    act_scales, stats, q_in=q_in, nxt=nxt)
         b, h, w, c = shape
         sub = {n: layer for n, layer, _ in block._sublayers()}
         i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
@@ -330,109 +369,72 @@ class Int8Inference:
         y = conv(a, "conv2", i2) + t2[:, None]
         return jnp.maximum(xf + y, 0.0).astype(cd), None
 
-    def _bneck_lane(self, block, p, s, x_cs, shape, key, act_scales, stats,
-                    q_in=None, nxt=None):
-        """One eligible bottleneck block in lane layout [C, B*H*W]: the
-        two 1x1s run as lane matmuls (conv1x1_lanes_requant), the mid
-        3x3 on the 3x3 lane kernel, every requant interlude fused into
-        the epilogues exactly like the basic path (block semantics:
-        reference residual_block.py:102-215)."""
-        b, h, w, c = shape
+    def _bneck_nhwc(self, block, p, s, x, key, act_scales, stats):
+        """Identity-shortcut bottleneck block in NHWC: the two 1x1s run
+        as XLA int8 ``dot_general`` over the channel dim (the v5e 2x int8
+        MXU mode engages for dots — tools/bench_int8_mxu.py), the mid 3x3
+        stays bf16 XLA, and every quant/dequant/BN/relu interlude is left
+        to XLA's elementwise fusion. No custom calls: the pallas lane
+        1x1 wins at kernel level but its pinned layouts force full-tensor
+        copies against XLA's conv layouts (measured 0.50x end-to-end on
+        ResNet-50 — BASELINE.md). Block semantics: reference
+        residual_block.py:102-215."""
         sub = {n: layer for n, layer, _ in block._sublayers()}
         i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
         i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
         i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
         cd = block.compute_dtype
+        xf = x.astype(jnp.float32)
 
-        if act_scales is not None:
-            return self._bneck_lane_int8(
-                block, p, x_cs, h, w, key, act_scales,
-                (i1, t1, i2, t2, i3, t3), q_in=q_in, nxt=nxt)
+        def conv3(a_f32, inv, sh):
+            """Mid 3x3 (bf16 XLA NHWC) + following BN affine + relu; no
+            observer — only the 1x1 inputs are ever quantized."""
+            z = jax.lax.conv_general_dilated(
+                a_f32.astype(cd), p["conv2"]["w"].astype(cd), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.maximum(z.astype(jnp.float32) * inv + sh, 0.0)
 
-        xf = x_cs.astype(jnp.float32)
+        if act_scales is None:  # float / calibration mode
+            def conv1x1(a_f32, cname):
+                if stats is not None:
+                    stats[f"{key}/{cname}"] = jnp.max(jnp.abs(a_f32))
+                kh, kw, cin, cout = p[cname]["w"].shape
+                wt = p[cname]["w"].reshape(cin, cout).astype(cd)
+                return jnp.dot(a_f32.astype(cd), wt).astype(jnp.float32)
 
-        def conv1x1(a_f32, cname, bn_inv):
-            ckey = f"{key}/{cname}"
-            if stats is not None:
-                stats[ckey] = jnp.max(jnp.abs(a_f32))
-            wt = pack_weights_1x1(p[cname]["w"]).astype(cd)  # [Cout, Cin]
-            yf = jnp.dot(wt, a_f32.astype(cd)).astype(jnp.float32)
-            return yf * bn_inv[:, None] if bn_inv is not None else yf
+            if block.preact:
+                a1 = jnp.maximum(xf * i1 + t1, 0.0)
+                a2 = jnp.maximum(conv1x1(a1, "conv1") * i2 + t2, 0.0)
+                a3 = conv3(a2, i3, t3)
+                return (xf + conv1x1(a3, "conv3")).astype(cd)
+            a1 = jnp.maximum(conv1x1(xf, "conv1") * i1 + t1, 0.0)
+            a2 = conv3(a1, i2, t2)
+            z3 = conv1x1(a2, "conv3") * i3 + t3
+            return jnp.maximum(xf + z3, 0.0).astype(cd)
 
-        def conv3(a_f32, cname, bn_inv):
-            ckey = f"{key}/{cname}"
-            if stats is not None:
-                stats[ckey] = jnp.max(jnp.abs(a_f32))
-            y = conv3x3_lanes(a_f32.astype(cd),
-                              pack_weights(p[cname]["w"].astype(cd)),
-                              h=h, w_img=w, interpret=self.interpret)
-            yf = y.astype(jnp.float32)
-            return yf * bn_inv[:, None] if bn_inv is not None else yf
-
-        if block.preact:
-            a1 = jnp.maximum(xf * i1[:, None] + t1[:, None], 0.0)
-            z1 = conv1x1(a1, "conv1", i2) + t2[:, None]
-            a2 = jnp.maximum(z1, 0.0)
-            z2 = conv3(a2, "conv2", i3) + t3[:, None]
-            a3 = jnp.maximum(z2, 0.0)
-            y = conv1x1(a3, "conv3", None)
-            return (xf + y).astype(cd), None
-        # post-act v1: conv->norm->relu x2, conv3->norm3, add, relu
-        z1 = conv1x1(xf, "conv1", i1) + t1[:, None]
-        a1 = jnp.maximum(z1, 0.0)
-        z2 = conv3(a1, "conv2", i2) + t2[:, None]
-        a2 = jnp.maximum(z2, 0.0)
-        z3 = conv1x1(a2, "conv3", i3) + t3[:, None]
-        return jnp.maximum(xf + z3, 0.0).astype(cd), None
-
-    def _bneck_lane_int8(self, block, p, x_cs, h, w, key, act_scales,
-                         affines, q_in=None, nxt=None):
-        """Int8 bottleneck block, lane layout, fused requant epilogues —
-        the three-conv analog of _block_lane_int8: mid-run blocks have
-        zero XLA elementwise work (entry arrives quantized from the
-        previous block's dual epilogue; conv1's epilogue quantizes for
-        conv2, conv2's for conv3; conv3's emits the bf16 carrier +
-        residual and, in dual mode, the next block's entry)."""
-        i1, t1, i2, t2, i3, t3 = affines
+        # int8 mode: per-tensor act scales (static), per-out-channel
+        # weight scales; dequant folded into the dot's output fusion
         s1 = act_scales[f"{key}/conv1"]
-        s2 = act_scales[f"{key}/conv2"]
         s3 = act_scales[f"{key}/conv3"]
-        w1q, w1s = self._packed_qweights(f"{key}/conv1", p["conv1"]["w"])
-        w2q, w2s = self._packed_qweights(f"{key}/conv2", p["conv2"]["w"])
-        w3q, w3s = self._packed_qweights(f"{key}/conv3", p["conv3"]["w"])
-        x = x_cs.astype(jnp.bfloat16)  # residual carrier
-        dual = (self._next_entry_affine(nxt, act_scales)
-                if nxt is not None else None)
-        zeros = jnp.zeros_like(w3s)
+
+        def dot_int8(a_f32, cname, a_scale):
+            w_q, w_s = self._qweights_nhwc(f"{key}/{cname}",
+                                           p[cname]["w"])
+            q = _quantize_act(a_f32, a_scale)
+            acc = jax.lax.dot_general(
+                q, w_q, (((a_f32.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (a_scale * w_s)
+
         if block.preact:
-            if q_in is None:
-                a1 = jnp.maximum(
-                    x.astype(jnp.float32) * i1[:, None] + t1[:, None], 0.0)
-                q_in = _quantize_act(a1, s1)
-            q2 = conv1x1_lanes_requant(
-                q_in, w1q, s1 * w1s * i2, t2, relu=True,
-                inv_out_scale=1.0 / s2, interpret=self.interpret)
-            q3 = conv3x3_lanes_requant(
-                q2, w2q, s2 * w2s * i3, t3, h=h, w_img=w, relu=True,
-                inv_out_scale=1.0 / s3, interpret=self.interpret)
-            out = conv1x1_lanes_requant(
-                q3, w3q, s3 * w3s, zeros, x, dual, relu=False,
-                inv_out_scale=None, interpret=self.interpret)
-            return out if dual is not None else (out, None)
-        # post-act: conv3's epilogue applies norm3, adds the shortcut,
-        # then the post-add relu
-        if q_in is None:
-            q_in = _quantize_act(x.astype(jnp.float32), s1)
-        q2 = conv1x1_lanes_requant(
-            q_in, w1q, s1 * w1s * i1, t1, relu=True,
-            inv_out_scale=1.0 / s2, interpret=self.interpret)
-        q3 = conv3x3_lanes_requant(
-            q2, w2q, s2 * w2s * i2, t2, h=h, w_img=w, relu=True,
-            inv_out_scale=1.0 / s3, interpret=self.interpret)
-        out = conv1x1_lanes_requant(
-            q3, w3q, s3 * w3s * i3, t3, x, dual, relu=True,
-            inv_out_scale=None, interpret=self.interpret)
-        return out if dual is not None else (out, None)
+            a1 = jnp.maximum(xf * i1 + t1, 0.0)
+            a2 = jnp.maximum(dot_int8(a1, "conv1", s1) * i2 + t2, 0.0)
+            a3 = conv3(a2, i3, t3)
+            return (xf + dot_int8(a3, "conv3", s3)).astype(cd)
+        a1 = jnp.maximum(dot_int8(xf, "conv1", s1) * i1 + t1, 0.0)
+        a2 = conv3(a1, i2, t2)
+        z3 = dot_int8(a2, "conv3", s3) * i3 + t3
+        return jnp.maximum(xf + z3, 0.0).astype(cd)
 
     def _transition_lane(self, block, p, s, x, key, act_scales, stats,
                          nxt=None):

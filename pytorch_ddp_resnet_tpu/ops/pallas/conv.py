@@ -79,6 +79,19 @@ def _pick_tile(hw: int, n: int, c: int = 160, max_tile: int = 2048) -> int:
             raise ValueError(
                 f"cannot reach a 128-multiple lane tile from HW={hw}, N={n}")
         t *= 2
+    if t > 2 * target:
+        # Whole-image alignment overshot the VMEM budget: at ImageNet
+        # geometries (HW = 3136/784/196/49, all with a 49 factor) the
+        # smallest 128-multiple image-aligned tile is 6272 lanes, which
+        # blows the 16MB scoped-VMEM limit at c >= 128 (measured on v5e:
+        # c=128 tile 6272 -> 16.56M > 16M compile-time OOM). CIFAR
+        # geometries (power-of-2 HW) never overshoot, so this guard only
+        # rejects shapes that could not compile or run well anyway;
+        # callers treat the raise as "not lane-eligible" and fall back.
+        raise ValueError(
+            f"image-aligned lane tile {t} exceeds the VMEM budget for "
+            f"c={c} (target {target}): HW={hw} alignment would overflow "
+            f"the 16MB scoped VMEM")
     return t
 
 

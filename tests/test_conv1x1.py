@@ -1,9 +1,11 @@
-"""Lane-layout 1x1 conv kernels (ops/pallas/conv1x1.py) + the bottleneck
-int8 serving path they unlock (models/quantize.py).
+"""Lane-layout 1x1 conv kernels (ops/pallas/conv1x1.py, interpret mode
+on CPU) + the bottleneck int8 serving path (models/quantize.py — NHWC
+XLA int8 dots, chosen over the lane kernels by end-to-end measurement;
+see BASELINE.md "Int8 serving, bottleneck family").
 
-Interpret mode on CPU. Parity targets: jax.lax 1x1 conv semantics (the
-nn.Conv2d k=1 calls in reference residual_block.py:102-215) and exact
-integer requantization arithmetic.
+Parity targets: jax.lax 1x1 conv semantics (the nn.Conv2d k=1 calls in
+reference residual_block.py:102-215) and exact integer requantization
+arithmetic.
 """
 
 import jax
@@ -103,7 +105,9 @@ def _bneck_model(preact: bool, channels: int = 128):
     return model, params, state
 
 
-def _batch(n=4, hw=8, seed=1):
+def _batch(n=64, hw=8, seed=1):
+    # n=64 at 8x8 -> N=4096 = 32 * 128 channels: exactly at the measured
+    # int8-dot crossover (_bneck_eligible), so the blocks quantize
     return jax.random.normal(jax.random.PRNGKey(seed), (n, hw, hw, 3),
                              jnp.float32)
 
@@ -117,9 +121,9 @@ def test_bneck_float_walk_matches_model_apply(preact):
     got, stats = jax.jit(inf.calibrate_fn())(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-2)
-    # observers at all three convs of both blocks
+    # observers at the two 1x1s of both blocks (the mid 3x3 stays bf16)
     assert sorted(stats) == [
-        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 2, 3)]
+        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 3)]
 
 
 @pytest.mark.parametrize("preact", [True, False])
@@ -129,7 +133,7 @@ def test_bneck_int8_serving_close_to_float(preact):
     ref, _ = model.apply(params, state, x, train=False)
     inf = Int8Inference(model, params, state)
     scales = calibrate(inf, [x])
-    assert len(scales) == 6
+    assert len(scales) == 4
     ql = jax.jit(inf.serve_fn(scales))(x)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(ql - ref))) < 0.1 * scale + 0.05
@@ -139,7 +143,7 @@ def test_bneck_int8_serving_close_to_float(preact):
 def test_bneck_transition_falls_back_float():
     # ResNet-50-style stage plan: the first block of each extended-token
     # stack transforms the shortcut -> wholesale float; identity blocks
-    # quantize all three convs
+    # quantize their two 1x1s
     spec = "c3,64,3,1,1 b2,128,32,1 n a ap8,1,0 fc128,10"
     model = ResNet(spec, preact=True, use_proj=True, dropout_prob=0.0,
                    compute_dtype=jnp.bfloat16)
@@ -149,17 +153,52 @@ def test_bneck_transition_falls_back_float():
     inf = Int8Inference(model, params, state)
     got, stats = jax.jit(inf.calibrate_fn())(x)
     # only block1 (identity) is quantized; block0 transforms the shortcut
-    assert sorted(stats) == [f"01_stack/block1/conv{c}" for c in (1, 2, 3)]
+    assert sorted(stats) == [f"01_stack/block1/conv{c}" for c in (1, 3)]
     scales = calibrate(inf, [x])
     ql = jax.jit(inf.serve_fn(scales))(x)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(ql - ref))) < 0.1 * scale + 0.05
 
 
-def test_bneck_narrow_width_ineligible():
-    # width 16 (channels 64): 16 % 32 != 0 -> wholesale float fallback
-    model, params, state = _bneck_model(True, channels=64)
-    x = _batch()
+@pytest.mark.parametrize("preact", [True, False])
+def test_bneck_imagenet_geometry(preact):
+    """Non-power-of-2 spatial (14x14, the shapes that force 6272-lane
+    whole-image tiles on the 3x3 lane kernel): the hybrid path must stay
+    eligible — the mid 3x3 rides XLA in CNHW — and serve accurately."""
+    spec = "c3,128,3,1,1 b2 n a ap14,1,0 fc128,10"
+    model = ResNet(spec, preact=preact, use_proj=False, dropout_prob=0.0,
+                   compute_dtype=jnp.bfloat16)
+    params, state = model.init(jax.random.PRNGKey(0), (14, 14, 3))
+    x = jax.random.normal(jax.random.PRNGKey(3), (32, 14, 14, 3),
+                          jnp.float32)  # N = 32*196 = 6272 = 49*128
+    ref, _ = model.apply(params, state, x, train=False)
+    inf = Int8Inference(model, params, state)
+    _, stats = jax.jit(inf.calibrate_fn())(x)
+    assert sorted(stats) == [
+        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 3)]
+    scales = calibrate(inf, [x])
+    ql = jax.jit(inf.serve_fn(scales))(x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ql - ref))) < 0.1 * scale + 0.05
+    assert (jnp.argmax(ql, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_pick_tile_vmem_guard():
+    """_pick_tile refuses image-aligned tiles that overflow scoped VMEM
+    (measured: c=128 tile 6272 -> 16.56M > 16M on v5e) so eligibility
+    gates fall back to float instead of compile-crashing."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
+    with pytest.raises(ValueError, match="VMEM"):
+        _pick_tile(28 * 28, 64 * 28 * 28, 128)  # ImageNet stage 2
+    assert _pick_tile(32 * 32, 256 * 32 * 32, 160) == 2048  # WRN unchanged
+
+
+def test_bneck_below_crossover_ineligible():
+    # N = 4*64 = 256 < 32 * 128 channels: below the measured int8-dot
+    # crossover -> wholesale float fallback (BASELINE.md: the quantize
+    # chains dwarf the dots at ResNet-50's 7x7 stage, 0.44x)
+    model, params, state = _bneck_model(True)
+    x = _batch(n=4)
     inf = Int8Inference(model, params, state)
     _, stats = jax.jit(inf.calibrate_fn())(x)
     assert stats == {}

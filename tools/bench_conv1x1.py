@@ -69,8 +69,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--arch", default="r50", choices=sorted(STAGES))
-    ap.add_argument("--inner", type=int, default=12)
-    ap.add_argument("--outer", type=int, default=6)
+    ap.add_argument("--inner", type=int, default=48,
+                    help="chain length; the measured difference chain must "
+                         "dwarf per-dispatch RTT noise (~1ms on the tunnel)")
+    ap.add_argument("--outer", type=int, default=8)
     args = ap.parse_args()
 
     from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
@@ -198,9 +200,9 @@ def main():
             print(f"{tag} 3x3 int8: REJECTED: {msg}", flush=True)
 
     for k in sorted(out):
-        if k.endswith("int8_lane") and "ms" in out[k]:
+        if k.endswith("int8_lane") and out[k].get("ms"):
             ref = out.get(k.replace("int8_lane", "bf16_xla"), {})
-            if "ms" in ref:
+            if ref.get("ms"):
                 out[k]["vs_bf16"] = round(ref["ms"] / out[k]["ms"], 2)
     print(json.dumps(out))
 
