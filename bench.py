@@ -35,14 +35,17 @@ import numpy as np
 REFERENCE_BASELINE_IMG_S = 1000.0  # estimate; see module docstring
 MEASURED_TORCH_CPU_IMG_S = 0.44    # measured on this host; see docstring
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+# 512 is the measured throughput-optimal batch for the int8 FQT step on
+# v5e (same-day sweep, 2026-08-18: b256 5,158 / b512 5,272 / b1024 5,228
+# img/s) - the faster kernels shifted the optimum up from round 2's 256.
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 WARMUP = 5
 MEASURE = 30
 # steps per device dispatch (the training loop's `steps_per_dispatch`):
 # amortizes host->device dispatch latency, ~4ms/step on this tunneled TPU
 # runtime. The scanned step computes the same per-step math as the
 # unchunked training loop.
-CHUNK = 8
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 
 
 def main():

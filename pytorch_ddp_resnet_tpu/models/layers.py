@@ -75,6 +75,12 @@ class Conv(Layer):
     # stride-1 3x3 SAME shapes; config flag `use_pallas_conv`. Non-eligible
     # shapes (stride-2 transitions, 1x1 projections) always use lax.conv.
     pallas: bool = False
+    # Lane-emitting stem (ops/pallas/stem.py), set by the spec parser when
+    # the residual trunk runs in the fused lane layout: the stem conv then
+    # EMITS [C, B*H*W] directly, replacing the stage-1 entry relayout (and
+    # its backward mirror) with a free layout choice on a trivial-FLOP op.
+    lane_stem: bool = False
+    shard_mesh: Any = None
 
     def init(self, rng, in_shape: Shape):
         h, w, c = in_shape
@@ -124,6 +130,62 @@ class Conv(Layer):
         if self.use_bias:
             y = y + params["b"].astype(cd)
         return y, state
+
+    def lane_entry_eligible(self, x_shape, train: bool) -> bool:
+        """Sequential's lane protocol: True when this conv should emit the
+        lane layout directly (the trunk behind it will consume it; if the
+        run turns out ineligible at runtime shape, Sequential just
+        converts back — same cost as the entry transpose this replaces)."""
+        if not (self.lane_stem and train and len(x_shape) == 4
+                and self.kernel_size == 3 and self.stride == 1
+                and self.padding == 1 and self.use_bias
+                and self.in_channels <= 8
+                and self.out_channels % 16 == 0):
+            return False
+        b, h, w, _ = x_shape
+        d = (1 if self.shard_mesh is None
+             else int(self.shard_mesh.shape.get("data", 1)))
+        if b % d != 0:
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.stem import stem_lane_tile
+
+        try:
+            stem_lane_tile(h, w, (b // d) * h * w, self.out_channels)
+        except ValueError:
+            return False
+        return True
+
+    def apply_to_lane(self, params, state, x, *, train, rng=None):
+        """Stem conv consuming NHWC, emitting lane layout (see
+        ops/pallas/stem.py). The input-side transpose is over Cin <= 8
+        channels (~2% of the activation bytes the replaced [Cout, N]
+        relayout moved); on a pod mesh the kernel dispatches per batch
+        shard under shard_map, mirroring blocks.py _run_half."""
+        from pytorch_ddp_resnet_tpu.ops.pallas.stem import stem_conv_lane
+
+        interpret = jax.default_backend() != "tpu"
+        cd = self.compute_dtype
+        b, h, w, c = x.shape
+        x_cs = jnp.transpose(x.astype(cd), (3, 0, 1, 2)).reshape(
+            c, b * h * w)
+        d = (1 if self.shard_mesh is None
+             else int(self.shard_mesh.shape.get("data", 1)))
+        if d == 1:
+            y_cs = stem_conv_lane(x_cs, params["w"], params["b"], h=h,
+                                  w_img=w, interpret=interpret)
+            return y_cs, (b, h, w, self.out_channels), state
+        from jax.sharding import PartitionSpec as P
+
+        def local(x_l, w_l, b_l):
+            return stem_conv_lane(x_l, w_l, b_l, h=h, w_img=w,
+                                  interpret=interpret)
+
+        y_cs = jax.shard_map(
+            local, mesh=self.shard_mesh,
+            in_specs=(P(None, "data"), P(), P()),
+            out_specs=P(None, "data"), check_vma=False)(
+                x_cs, params["w"], params["b"])
+        return y_cs, (b, h, w, self.out_channels), state
 
 
 @dataclass(frozen=True)
@@ -340,6 +402,12 @@ class Dense(Layer):
         return y, state  # logits in fp32 for the loss
 
 
+def _delane(lane):
+    """Lane layout ([C, B*H*W]) back to NHWC."""
+    x_cs, (b, h, w, c) = lane
+    return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+
+
 @dataclass(frozen=True)
 class Sequential(Layer):
     """Ordered composite; the model spine (reference nn.Sequential)."""
@@ -358,6 +426,22 @@ class Sequential(Layer):
         return params, state, shape
 
     def apply(self, params, state, x, *, train, rng=None):
+        x, new_state, lane = self._apply_loop(params, state, x, None,
+                                              train=train, rng=rng)
+        if lane is not None:
+            x = _delane(lane)
+        return x, new_state
+
+    def _lane_accepts(self, x_shape, train: bool) -> bool:
+        """True when this (nested) Sequential can start directly from the
+        lane layout: its first layer is a lane-run block for x_shape."""
+        if not self.layers:
+            return False
+        first = self.layers[0][1]
+        return (hasattr(first, "apply_lane")
+                and first.lane_eligible(x_shape, train))
+
+    def _apply_loop(self, params, state, x, lane, *, train, rng=None):
         # Transpose hoisting for the fused block-half path: a run of
         # consecutive layers exposing `apply_lane`/`lane_eligible` (the
         # fused preact ResidualBlocks, blocks.py) executes entirely in the
@@ -365,12 +449,11 @@ class Sequential(Layer):
         # once at exit instead of per block — each per-block conversion is
         # a full-activation HBM round trip that was measured to cancel the
         # fused kernels' win (BASELINE.md "Fused block-half kernels").
+        # `lane` may arrive non-None from an enclosing Sequential (the
+        # lane-emitting stem feeding a block stack) and is returned still
+        # open when the run reaches the end, so lane state crosses nested
+        # Sequential boundaries without an NHWC round trip.
         new_state = dict(state)
-        lane = None  # (x_cs, nhwc_shape) while inside a fused run
-
-        def delane(lane):
-            x_cs, (b, h, w, c) = lane
-            return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
 
         for i, (name, layer) in enumerate(self.layers):
             layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
@@ -389,26 +472,32 @@ class Sequential(Layer):
             elif (hasattr(layer, "apply_to_lane") and shape is not None
                   and len(shape) == 4
                   and layer.lane_entry_eligible(shape, train)):
-                # stage-TRANSITION block on the int8 path: consumes NHWC,
-                # EMITS lane layout — the exit of the previous run and the
-                # entry of the next collapse into this block
+                # lane ENTRY op (a stage-transition block or the stem conv
+                # on the int8/fused path): consumes NHWC, EMITS lane — the
+                # exit of the previous run and the entry of the next
+                # collapse into this layer
                 if lane is not None:
-                    x, lane = delane(lane), None
+                    x, lane = _delane(lane), None
                 x_cs, out_shape, s = layer.apply_to_lane(
                     params.get(name, {}), state.get(name, {}), x,
                     train=train, rng=layer_rng)
                 lane = (x_cs, out_shape)
+            elif (isinstance(layer, Sequential) and lane is not None
+                  and layer._lane_accepts(lane[1], train)):
+                # nested stack consuming the open lane run (e.g. the
+                # lane-emitting stem feeding stage 1's block stack)
+                x, s, lane = layer._apply_loop(
+                    params.get(name, {}), state.get(name, {}), None, lane,
+                    train=train, rng=layer_rng)
             else:
                 if lane is not None:
-                    x, lane = delane(lane), None
+                    x, lane = _delane(lane), None
                 x, s = layer.apply(
                     params.get(name, {}), state.get(name, {}), x,
                     train=train, rng=layer_rng)
             if s:
                 new_state[name] = s
-        if lane is not None:
-            x = delane(lane)
-        return x, new_state
+        return x, new_state, lane
 
 
 def named_sequential(*layers: Layer, names: Optional[Sequence[str]] = None) -> Sequential:

@@ -163,8 +163,14 @@ def parse_spec(
     for n, tok in enumerate(tokens):
         if tok.startswith("c"):
             i, o, k, s, p = extract_ints(tok, 5)
+            # lane_stem: when the preact trunk runs in the fused lane
+            # layout, let an eligible stem emit [C, B*H*W] directly
+            # instead of paying the stage-1 entry relayout (stem.py)
             layer = Conv(i, o, k, stride=s, padding=p, use_bias=True,
-                         kernel_init="kaiming_normal", compute_dtype=cd)
+                         kernel_init="kaiming_normal", compute_dtype=cd,
+                         lane_stem=(preact and (int8_train or fused_block)
+                                    and k == 3 and s == 1 and p == 1),
+                         shard_mesh=shard_mesh)
             channels = o
             name = f"{n:02d}_conv"
         elif tok.startswith("mp"):

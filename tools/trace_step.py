@@ -30,7 +30,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-BATCH = 256
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 
 
 def build_chunk(steps: int):
