@@ -127,6 +127,10 @@ def _download_and_extract(url: str, data_dir: str, marker: str) -> None:
         print(f"Downloading {url} -> {archive}")
         urllib.request.urlretrieve(url, archive + ".part")
         os.replace(archive + ".part", archive)
+    _safe_extract_targz(archive, data_dir)
+
+
+def _safe_extract_targz(archive: str, data_dir: str) -> None:
     with tarfile.open(archive, "r:gz") as tf:
         try:
             # refuse path traversal from a malicious archive (the download is
@@ -690,6 +694,110 @@ def load_fgvc_aircraft(data_dir: str, train: bool,
         num_classes=len(classes), name="FGVCAircraft")
 
 
+_CALTECH101_URL = ("https://data.caltech.edu/records/mzrjq-6wc02/files/"
+                   "caltech-101.zip")
+
+
+def load_caltech101(data_dir: str, train: bool,
+                    download: bool = True) -> ImageFolderDataset:
+    """Caltech-101: ``caltech101/101_ObjectCategories/<cat>/image_NNNN.jpg``,
+    classes = sorted category dirs minus ``BACKGROUND_Google`` (torchvision
+    Caltech101 semantics). torchvision defines NO train/test split (its
+    class takes no ``train`` argument — the reference's split adaptation
+    cannot construct it, data_util.py:27-38); this loader provides the
+    dataset authors' standard protocol as a documented extension: the
+    first 30 images per category (sorted order) train, the rest test."""
+    base = os.path.join(data_dir, "caltech101")
+    root = os.path.join(base, "101_ObjectCategories")
+    if not os.path.isdir(root):
+        if not download:
+            raise FileNotFoundError(f"Caltech-101 not found at {root}.")
+        with FileLock(os.path.join(_ensure_dir(data_dir),
+                                   "Caltech101.lock")):
+            _download_caltech101(base)
+    cats = sorted(d for d in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, d))
+                  and d != "BACKGROUND_Google")
+    paths, labels = [], []
+    for idx, cat in enumerate(cats):
+        cdir = os.path.join(root, cat)
+        imgs = sorted(f for f in os.listdir(cdir)
+                      if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        keep = imgs[:30] if train else imgs[30:]
+        paths.extend(os.path.join(cdir, f) for f in keep)
+        labels.extend([idx] * len(keep))
+    return ImageFolderDataset(
+        root=root, paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=len(cats), name="Caltech101")
+
+
+def _download_caltech101(base: str) -> None:
+    """caltech-101.zip wraps 101_ObjectCategories.tar.gz; unzip then untar
+    via the link-rejecting extractor."""
+    if os.path.isdir(os.path.join(base, "101_ObjectCategories")):
+        return
+    os.makedirs(base, exist_ok=True)
+    archive = os.path.join(base, "caltech-101.zip")
+    if not os.path.exists(archive):
+        print(f"Downloading {_CALTECH101_URL} -> {archive}")
+        urllib.request.urlretrieve(_CALTECH101_URL, archive + ".part")
+        os.replace(archive + ".part", archive)
+    import zipfile
+
+    with zipfile.ZipFile(archive) as zf:
+        inner_name = "caltech-101/101_ObjectCategories.tar.gz"
+        zf.extract(inner_name, base)  # zipfile sanitizes member paths
+    _safe_extract_targz(os.path.join(base, inner_name), base)
+
+
+def load_celeba(data_dir: str, train: bool,
+                download: bool = True) -> ImageFolderDataset:
+    """CelebA, identity-classification target: ``celeba/img_align_celeba/
+    *.jpg`` with ``list_eval_partition.txt`` (0 train / 1 val / 2 test;
+    this loader's test split is the val partition, like ImageNet) and
+    ``identity_CelebA.txt`` (image -> 1-indexed identity). torchvision's
+    default target_type='attr' is a 40-way MULTI-label target no
+    cross-entropy classifier in this framework (or the reference) can
+    consume, so the integer ``identity`` target is used — documented
+    divergence. Files must be pre-placed (the official distribution is a
+    Google Drive share with no stable programmatic URL — torchvision's
+    downloader fails the same way)."""
+    del download  # no stable URL; presence is checked below either way
+    base = os.path.join(data_dir, "celeba")
+    img_dir = os.path.join(base, "img_align_celeba")
+    part_file = os.path.join(base, "list_eval_partition.txt")
+    ident_file = os.path.join(base, "identity_CelebA.txt")
+    for needed in (img_dir, part_file, ident_file):
+        if not os.path.exists(needed):
+            raise FileNotFoundError(
+                f"CelebA requires {needed}; the official distribution is "
+                f"a Google Drive share without a stable programmatic URL — "
+                f"place img_align_celeba/, list_eval_partition.txt and "
+                f"identity_CelebA.txt under {base}.")
+    want = 0 if train else 1
+    split = {}
+    with open(part_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                split[parts[0]] = int(parts[1])
+    paths, labels = [], []
+    max_ident = 0
+    with open(ident_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            name, ident = parts[0], int(parts[1])
+            max_ident = max(max_ident, ident)
+            if split.get(name) == want:
+                paths.append(os.path.join(img_dir, name))
+                labels.append(ident - 1)  # 1-indexed -> class index
+    return ImageFolderDataset(
+        root=base, paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=max_ident, name="CelebA")
+
+
 def _ensure_dir(d: str) -> str:
     os.makedirs(d, exist_ok=True)
     return d
@@ -711,6 +819,8 @@ _LOADERS = {
     "DTD": load_dtd,
     "Flowers102": load_flowers102,
     "FGVCAircraft": load_fgvc_aircraft,
+    "Caltech101": load_caltech101,
+    "CelebA": load_celeba,
 }
 
 

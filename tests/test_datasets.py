@@ -425,3 +425,47 @@ def test_streaming_registry_dispatch(tmp_path):
         _save_jpg(str(tmp_path / "imagenette2" / "val" / wnid / "x.jpg"))
     ds = get_dataset("Imagenette", str(tmp_path), train=True, download=False)
     assert isinstance(ds, ImageFolderDataset) and ds.num_classes == 2
+
+
+def test_caltech101_split_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_caltech101
+
+    root = tmp_path / "caltech101" / "101_ObjectCategories"
+    # 2 categories (sorted: ant < bee) + the excluded background dir;
+    # 32 images in 'ant' so the standard 30-per-class split leaves 2 test
+    for cat, n in (("ant", 32), ("bee", 31), ("BACKGROUND_Google", 5)):
+        for i in range(n):
+            _save_jpg(str(root / cat / f"image_{i:04d}.jpg"), seed=i)
+    tr = load_caltech101(str(tmp_path), train=True, download=False)
+    te = load_caltech101(str(tmp_path), train=False, download=False)
+    assert tr.num_classes == te.num_classes == 2  # background excluded
+    assert len(tr) == 60 and len(te) == 3  # 30+30 train; 2+1 test
+    assert sorted(set(tr.labels)) == [0, 1]
+    # first-30-sorted protocol: test paths are the tail images
+    assert all("image_003" in p for p in te.paths if "ant" in p)
+    with pytest.raises(FileNotFoundError):
+        load_caltech101(str(tmp_path / "nope"), train=True, download=False)
+
+
+def test_celeba_identity_parsing(tmp_path):
+    from pytorch_ddp_resnet_tpu.data.datasets import load_celeba
+
+    base = tmp_path / "celeba"
+    names = [f"{i:06d}.jpg" for i in range(1, 7)]
+    for i, n in enumerate(names):
+        _save_jpg(str(base / "img_align_celeba" / n), seed=i)
+    # partitions: 0=train, 1=val(test here), 2=held-out test (unused)
+    parts = [0, 0, 1, 1, 2, 0]
+    idents = [3, 1, 3, 2, 1, 2]  # 1-indexed identities, max=3
+    with open(base / "list_eval_partition.txt", "w") as f:
+        f.writelines(f"{n} {p}\n" for n, p in zip(names, parts))
+    with open(base / "identity_CelebA.txt", "w") as f:
+        f.writelines(f"{n} {i}\n" for n, i in zip(names, idents))
+    tr = load_celeba(str(tmp_path), train=True)
+    va = load_celeba(str(tmp_path), train=False)
+    assert tr.num_classes == va.num_classes == 3
+    assert len(tr) == 3 and len(va) == 2
+    assert list(tr.labels) == [2, 0, 1]  # identities 3,1,2 -> 0-based
+    assert list(va.labels) == [2, 1]
+    with pytest.raises(FileNotFoundError):
+        load_celeba(str(tmp_path / "nope"), train=True)
