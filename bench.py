@@ -88,7 +88,9 @@ def main():
                    pallas_conv=os.environ.get("BENCH_PALLAS_CONV") == "1",
                    fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1",
                    int8_train=bench_mode in ("int8_qat", "int8_fqt"),
-                   int8_train_bwd=bench_mode == "int8_fqt")
+                   int8_train_bwd=bench_mode == "int8_fqt",
+                   inkernel_dropout=(
+                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"))
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
 

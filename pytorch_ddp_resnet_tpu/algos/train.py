@@ -190,6 +190,11 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         int8_train=(config.get("use_int8_train", False)
                     or config.get("use_int8_train_bwd", False)),
         int8_train_bwd=config.get("use_int8_train_bwd", False),
+        # opt-in in-kernel counter-based dropout bits for the fused lane
+        # paths: masks reconstructed on the VPU from a hash of the global
+        # element index instead of a materialized HBM bits tensor
+        # (ops/pallas/fused_block.py _seed_bits)
+        inkernel_dropout=config.get("use_inkernel_dropout", False),
         # pod runs: the fused/int8 lane paths dispatch per-shard via
         # shard_map over this mesh's 'data' axis (models/blocks.py)
         shard_mesh=mesh if mesh.size > 1 else None,

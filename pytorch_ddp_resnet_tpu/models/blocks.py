@@ -174,6 +174,16 @@ class ResidualBlock(_BlockBase):
     # this carries its own accuracy gate, separate from the
     # straight-through fwd-only mode above.
     int8_train_bwd: bool = False
+    # Opt-in in-kernel dropout bits for the fused lane paths (config flag
+    # `use_inkernel_dropout`): instead of materializing [C, N] uint8
+    # jax.random.bits in HBM (written once, re-read by up to three
+    # backward kernels), each kernel reconstructs the mask on the VPU
+    # from a murmur-hash of the element's global index and a per-layer-
+    # per-step seed (ops/pallas/fused_block.py _seed_bits). Same keep
+    # probability and per-layer/step/shard keying; a DIFFERENT (still
+    # uniform) bit stream than jax.random.bits — the same sanctioned
+    # divergence class as the lane layout's bit-stream note below.
+    inkernel_dropout: bool = False
     # Mesh for pod runs of the fused/int8 lane paths. The XLA SPMD
     # partitioner treats Mosaic custom calls as opaque and would gather
     # batch-sharded operands around them; with a mesh here each fused
@@ -527,6 +537,17 @@ class ResidualBlock(_BlockBase):
             z_cs, params["conv2"]["w"], s2, t2, "drop2", x_cs, False)
         return y_cs, new_state
 
+    def _dropout_bits(self, key, c, n):
+        """Dropout bits for one fused half: a [c, n] uint8 stream, or —
+        with `inkernel_dropout` (and the i32 index headroom it needs) — a
+        scalar int32 seed that the kernels expand on the VPU
+        (ops/pallas/fused_block.py _seed_bits), eliminating the HBM bits
+        tensor entirely."""
+        if self.inkernel_dropout and c * n < 2 ** 31:
+            return jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (), dtype=jnp.uint32), jnp.int32)
+        return jax.random.bits(key, (c, n), dtype=jnp.uint8)
+
     def _run_half(self, half, x_in, w_conv, s, t, key, res, want_stats,
                   h, w, c, interpret):
         """Dispatch one fused half: directly on a single chip, or — on a
@@ -541,8 +562,7 @@ class ResidualBlock(_BlockBase):
         Pallas calls don't carry a replication rule."""
         d = self._data_shards()
         if d == 1:
-            bits = (jax.random.bits(key, (c, x_in.shape[1]),
-                                    dtype=jnp.uint8)
+            bits = (self._dropout_bits(key, c, x_in.shape[1])
                     if key is not None else None)
             return half(
                 x_in, w_conv, s, t, bits, res,
@@ -556,10 +576,10 @@ class ResidualBlock(_BlockBase):
             res_l = rest.pop(0) if res is not None else None
             bits_l = None
             if key_l is not None:
-                bits_l = jax.random.bits(
+                bits_l = self._dropout_bits(
                     jax.random.fold_in(
                         key_l, jax.lax.axis_index("data")),
-                    (c, x_l.shape[1]), dtype=jnp.uint8)
+                    c, x_l.shape[1])
             y_l, zs, zq = half(
                 x_l, w_l, s_l, t_l, bits_l, res_l,
                 dropout_rate=self.dropout_prob, h=h, w_img=w,
@@ -607,6 +627,7 @@ class BottleneckResidualBlock(_BlockBase):
     fused_block: bool = False
     int8_train: bool = False
     int8_train_bwd: bool = False
+    inkernel_dropout: bool = False
     shard_mesh: Any = None
 
     @property

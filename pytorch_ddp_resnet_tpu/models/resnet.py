@@ -108,6 +108,7 @@ def parse_spec(
     fused_block: bool = False,
     int8_train: bool = False,
     int8_train_bwd: bool = False,
+    inkernel_dropout: bool = False,
     shard_mesh: Any = None,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
@@ -154,7 +155,9 @@ def parse_spec(
                     dropout_prob=dropout_prob, compute_dtype=cd,
                     remat=remat, pallas_conv=pallas_conv,
                     fused_block=fused_block, int8_train=int8_train,
-                    int8_train_bwd=int8_train_bwd, shard_mesh=shard_mesh,
+                    int8_train_bwd=int8_train_bwd,
+                    inkernel_dropout=inkernel_dropout,
+                    shard_mesh=shard_mesh,
                     **(first_overrides if ell == 0 else overrides)),
             ))
         channels = cout
@@ -226,6 +229,7 @@ class ResNet:
         fused_block: bool = False,
         int8_train: bool = False,
         int8_train_bwd: bool = False,
+        inkernel_dropout: bool = False,
         shard_mesh: Any = None,
     ):
         self.architecture_spec = architecture_spec
@@ -238,12 +242,13 @@ class ResNet:
         self.fused_block = fused_block
         self.int8_train = int8_train
         self.int8_train_bwd = int8_train_bwd
+        self.inkernel_dropout = inkernel_dropout
         self.shard_mesh = shard_mesh
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
             remat=remat, pallas_conv=pallas_conv, fused_block=fused_block,
             int8_train=int8_train, int8_train_bwd=int8_train_bwd,
-            shard_mesh=shard_mesh,
+            inkernel_dropout=inkernel_dropout, shard_mesh=shard_mesh,
         )
 
     def init(self, rng, input_shape: Shape):

@@ -57,7 +57,9 @@ def build_chunk(steps: int):
                    fused_block=os.environ.get("BENCH_FUSED_BLOCK") == "1",
                    int8_train=(os.environ.get("BENCH_INT8_TRAIN") == "1"
                                or os.environ.get("BENCH_INT8_BWD") == "1"),
-                   int8_train_bwd=os.environ.get("BENCH_INT8_BWD") == "1")
+                   int8_train_bwd=os.environ.get("BENCH_INT8_BWD") == "1",
+                   inkernel_dropout=(
+                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"))
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
     ds = load_synthetic(None, train=True, n_train=4096,
