@@ -543,7 +543,12 @@ class ResidualBlock(_BlockBase):
         scalar int32 seed that the kernels expand on the VPU
         (ops/pallas/fused_block.py _seed_bits), eliminating the HBM bits
         tensor entirely."""
-        if self.inkernel_dropout and c * n < 2 ** 31:
+        # c <= 320: the same DMA-bound/VPU-bound boundary as the fused
+        # backward kernel (fused_block.py _make_op) — at 640 channels the
+        # kernels hide their reads behind VPU work, so the hash's ~8 int32
+        # vector ops/elem only add cost (measured end-to-end on v5e b512:
+        # all-widths seed mode 5,208 img/s vs 5,396 materialized).
+        if self.inkernel_dropout and c <= 320 and c * n < 2 ** 31:
             return jax.lax.bitcast_convert_type(
                 jax.random.bits(key, (), dtype=jnp.uint32), jnp.int32)
         return jax.random.bits(key, (c, n), dtype=jnp.uint8)
