@@ -34,17 +34,36 @@ from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
 )
 
 
-def host_bits(seed: int, cin: int, n: int) -> np.ndarray:
-    """Numpy mirror of _seed_bits: uint32 arithmetic has the same wraparound
-    bit patterns as the kernel's int32 ops."""
-    idx = np.arange(cin * n, dtype=np.uint32).reshape(cin, n)
-    h = idx * np.uint32(0x9E3779B1) + np.uint32(np.int64(seed) & 0xFFFFFFFF)
+def _hash_at(idx: np.ndarray, seed: int) -> np.ndarray:
+    """_seed_bits at arbitrary uint32 global indices: uint32 arithmetic has
+    the same wraparound bit patterns as the kernel's int32 ops."""
+    s = np.uint32(np.int64(seed) & 0xFFFFFFFF)
+    h = idx.astype(np.uint32) * np.uint32(0x9E3779B1) + s
     h ^= h >> np.uint32(16)
+    h ^= _fmix_seed(seed)
     h *= np.uint32(0x85EBCA6B)
     h ^= h >> np.uint32(13)
     h *= np.uint32(0xC2B2AE35)
     h ^= h >> np.uint32(16)
     return (h >> np.uint32(24)).astype(np.uint8)
+
+
+def host_bits(seed: int, cin: int, n: int) -> np.ndarray:
+    """Numpy mirror of _seed_bits."""
+    idx = np.arange(cin * n, dtype=np.uint32).reshape(cin, n)
+    return _hash_at(idx, seed)
+
+
+def _fmix_seed(seed: int) -> np.ndarray:
+    """The scalar seed finalizer (murmur3 fmix of the seed itself)."""
+    with np.errstate(over="ignore"):
+        s = np.uint32(np.int64(seed) & 0xFFFFFFFF)
+        s ^= s >> np.uint32(16)
+        s = np.uint32((int(s) * 0x85EBCA6B) & 0xFFFFFFFF)
+        s ^= s >> np.uint32(13)
+        s = np.uint32((int(s) * 0xC2B2AE35) & 0xFFFFFFFF)
+        s ^= s >> np.uint32(16)
+    return s
 
 
 def _operands(cin, cout, b, h, w, dtype=jnp.float32, res=True):
@@ -193,6 +212,51 @@ def test_stream_statistics():
     other = host_bits(43, 256, 4096).ravel()
     match = float((bits == other).mean())
     assert abs(match - 1 / 256) < 5 * ((1 / 256) * (255 / 256) / n) ** 0.5
+
+
+def test_streams_not_translations():
+    """Round-3 advisor finding: with seed mixed only additively before the
+    murmur finalizer, seed s2's stream was EXACTLY seed s1's stream shifted
+    by delta = (s2-s1) * GOLD^-1 mod 2^32 (the pre-finalizer state
+    h0 = idx*GOLD + s is a bijection of idx, so translating idx by delta
+    reproduced h0). The keyed re-mix inside the finalizer must break this:
+    hash(idx + delta, s1) vs hash(idx, s2) matches only at chance level,
+    as do all small shifts (the overlapping-mask regime)."""
+    n = 1 << 20
+    idx = np.arange(n, dtype=np.uint64)
+    gold_inv = pow(0x9E3779B1, -1, 1 << 32)
+    sigma = ((1 / 256) * (255 / 256) / n) ** 0.5
+    for s1, s2 in [(42, 43), (7, 1000003), (-5, 5)]:
+        delta = ((s2 - s1) * gold_inv) % (1 << 32)
+        a = _hash_at((idx + delta) % (1 << 32), s1)
+        b = _hash_at(idx, s2)
+        match = float((a == b).mean())
+        assert abs(match - 1 / 256) < 6 * sigma, (s1, s2, delta, match)
+    for shift in (1, 2, 17, 63):
+        a = _hash_at(idx + shift, 11)
+        b = _hash_at(idx, 12)
+        match = float((a == b).mean())
+        assert abs(match - 1 / 256) < 6 * sigma, (shift, match)
+
+
+def test_bits_argument_validation():
+    """Python ints and non-int32 scalars are rejected with clear errors
+    (advisor: a float scalar silently selected seed mode; a python int
+    failed obscurely inside pallas_call)."""
+    x = jnp.zeros((32, 256), jnp.float32)
+    wts = jnp.zeros((3, 3, 32, 32), jnp.float32)
+    v = jnp.zeros((32,), jnp.float32)
+
+    def run(bits):
+        return fused_half(x, wts, v, v, bits, None, dropout_rate=0.3,
+                          h=16, w_img=16, interpret=True)
+
+    with pytest.raises(ValueError, match="python int"):
+        run(123)
+    with pytest.raises(ValueError, match="must be int32"):
+        run(jnp.uint32(5))
+    with pytest.raises(ValueError, match="must be int32"):
+        run(jnp.float32(0.5))
 
 
 def test_seed_refused_beyond_i32_indexing():
