@@ -90,7 +90,11 @@ def main():
                    int8_train=bench_mode in ("int8_qat", "int8_fqt"),
                    int8_train_bwd=bench_mode == "int8_fqt",
                    inkernel_dropout=(
-                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"))
+                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"),
+                   # measured negative (BASELINE.md "Strided-lane
+                   # transitions"); A/B knob only
+                   lane_transition=(
+                       os.environ.get("BENCH_LANE_TRANSITION") == "1"))
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
 

@@ -195,6 +195,7 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
         # element index instead of a materialized HBM bits tensor
         # (ops/pallas/fused_block.py _seed_bits)
         inkernel_dropout=config.get("use_inkernel_dropout", False),
+        lane_transition=config.get("use_lane_transition", False),
         # pod runs: the fused/int8 lane paths dispatch per-shard via
         # shard_map over this mesh's 'data' axis (models/blocks.py)
         shard_mesh=mesh if mesh.size > 1 else None,

@@ -184,6 +184,18 @@ class ResidualBlock(_BlockBase):
     # uniform) bit stream than jax.random.bits — the same sanctioned
     # divergence class as the lane layout's bit-stream note below.
     inkernel_dropout: bool = False
+    # Opt-in strided-lane stage transitions (config flag
+    # `use_lane_transition`, ops/pallas/transition.py): the int8 trunk's
+    # transitions run LANE-in -> LANE-out through a parity-packed
+    # stride-2 kernel instead of the lane-entry path (XLA conv1 +
+    # boundary transposes). MEASURED NEGATIVE end-to-end on v5e b512
+    # (5,261 and 5,030 vs 5,439 img/s for two parity-relayout
+    # formulations): the kernels save ~2.6 ms of conv time but the
+    # stride-2<->stride-1 lane remapping is inexpressible as Mosaic
+    # rolls (no lane gather) and XLA lowers it to 10.8-13.6 ms of copy
+    # chains vs the ~6 ms of plain transposes it replaces — BASELINE.md
+    # "Strided-lane transitions". Default OFF.
+    lane_transition: bool = False
     # Mesh for pod runs of the fused/int8 lane paths. The XLA SPMD
     # partitioner treats Mosaic custom calls as opaque and would gather
     # batch-sharded operands around them; with a mesh here each fused
@@ -351,6 +363,167 @@ class ResidualBlock(_BlockBase):
 
             return jax.checkpoint(f)(params, state, x_cs)
         return self._forward_lane(params, state, x_cs, x_shape, rng=rng)
+
+    def lane_through_eligible(self, x_shape, train: bool) -> bool:
+        """True when this STAGE-TRANSITION block should run LANE-in ->
+        LANE-out (ops/pallas/transition.py): the previous stage's lane
+        run feeds the strided conv1 directly through the parity-packed
+        stride-2 kernel (prologue + int8 conv + proj/option-A shortcut +
+        norm2 stats fused), and conv2 rides fused_half_int8 as in the
+        lane-entry path — the stage-boundary NHWC<->lane transposes
+        (the largest non-conv line in the b512 step attribution,
+        BASELINE.md) disappear entirely."""
+        if not (self.lane_transition and self.int8_train and self.preact
+                and train and self.transforms_shortcut
+                and self.stride == 2):
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh)
+
+        if dropout_thresh(self.dropout_prob) <= 0:
+            return False
+        if len(x_shape) != 4:
+            return False
+        b, h, w, cin = x_shape
+        if h % 2 or w % 2 or cin != self.in_channels:
+            return False
+        cout = self.out_channels
+        if cout % 32 != 0 or (4 * cin) % 32 != 0:
+            return False
+        if not self.use_proj and cout < cin:
+            return False
+        d = self._data_shards()
+        if b % d != 0:
+            return False
+        oh, ow = h // 2, w // 2
+        n_local = (b // d) * oh * ow
+        from pytorch_ddp_resnet_tpu.ops.pallas.conv import _pick_tile
+        from pytorch_ddp_resnet_tpu.ops.pallas.transition import (
+            transition_tile)
+
+        try:
+            transition_tile(oh, ow, n_local, cin, cout)
+            _pick_tile(oh * ow, n_local, cout)  # conv2's tiling
+        except ValueError:
+            return False
+        return True
+
+    def apply_lane_through(self, params, state, x_cs, x_shape, *, train,
+                           rng=None):
+        """Transition block consuming AND emitting lane layout; see
+        lane_through_eligible. Returns (y_cs, out_shape, new_state)."""
+        if self.remat:
+            def f(p, s, xx):
+                return self._lane_through_impl(p, s, xx, x_shape, rng=rng)
+
+            return jax.checkpoint(f)(params, state, x_cs)
+        return self._lane_through_impl(params, state, x_cs, x_shape,
+                                       rng=rng)
+
+    def _lane_through_impl(self, params, state, x_cs, x_shape, *, rng):
+        from pytorch_ddp_resnet_tpu.ops.pallas.fused_block import (
+            dropout_thresh,
+            fused_half_int8,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        b, h, w, cin = x_shape
+        oh, ow = h // 2, w // 2
+        cout = self.out_channels
+        n_in, n_out = b * h * w, b * oh * ow
+        sub = {name: (layer, i)
+               for i, (name, layer, _) in enumerate(self._sublayers())}
+        new_state = dict(state)
+
+        # norm1 batch stats from the lane input (biased var, EMA exactly
+        # as BatchNorm.apply — same discipline as _forward_lane)
+        xf = x_cs.astype(jnp.float32)
+        mean1 = jnp.sum(xf, axis=1) / n_in
+        var1 = jnp.sum(jnp.square(xf), axis=1) / n_in - jnp.square(mean1)
+        s1, t1, new_state["norm1"] = _fold_bn_batch_and_ema(
+            sub["norm1"][0], params["norm1"], state["norm1"], mean1, var1,
+            n_in)
+
+        thresh = dropout_thresh(self.dropout_prob)
+        key1 = (jax.random.fold_in(rng, sub["drop1"][1])
+                if thresh < 256 else None)
+        wp = (params["proj"]["w"].reshape(cin, cout)
+              if self.use_proj else None)
+        z_cs, zsum, zssq, res_cs = self._run_transition(
+            x_cs, params["conv1"]["w"], wp, s1, t1, key1, h, w, cin, cout,
+            interpret)
+
+        # norm2 from the kernel's epilogue statistics
+        mean2 = zsum / n_out
+        var2 = zssq / n_out - jnp.square(mean2)
+        s2, t2, new_state["norm2"] = _fold_bn_batch_and_ema(
+            sub["norm2"][0], params["norm2"], state["norm2"], mean2, var2,
+            n_out)
+
+        key2 = (jax.random.fold_in(rng, sub["drop2"][1])
+                if thresh < 256 else None)
+        half = functools.partial(fused_half_int8,
+                                 quant_bwd=self.int8_train_bwd)
+        y_cs, _, _ = self._run_half(
+            half, z_cs, params["conv2"]["w"], s2, t2, key2, res_cs,
+            False, oh, ow, cout, interpret)
+        return y_cs, (b, oh, ow, cout), new_state
+
+    def _run_transition(self, x_cs, w1, wp, s1, t1, key, h, w, cin, cout,
+                        interpret):
+        """Dispatch the strided transition kernel: directly on a single
+        chip, or under shard_map on a pod mesh (same pattern as
+        _run_half: batch-sharded lanes, replicated weights, psum'd
+        norm2 statistic sums, per-shard dropout bits)."""
+        from pytorch_ddp_resnet_tpu.ops.pallas.transition import (
+            transition_half_int8)
+
+        quant_bwd = self.int8_train_bwd
+
+        def bits_for(key_l, n_local):
+            return jax.random.bits(key_l, (4 * cin, n_local // 4),
+                                   dtype=jnp.uint8)
+
+        d = self._data_shards()
+        if d == 1:
+            bits = bits_for(key, x_cs.shape[1]) if key is not None else None
+            return transition_half_int8(
+                x_cs, w1, wp, s1, t1, bits,
+                dropout_rate=self.dropout_prob, h=h, w_img=w,
+                quant_bwd=quant_bwd, interpret=interpret)
+        from jax.sharding import PartitionSpec as P
+
+        def local(x_l, w_l, *rest):
+            rest = list(rest)
+            wp_l = rest.pop(0) if wp is not None else None
+            s_l, t_l = rest.pop(0), rest.pop(0)
+            key_l = rest.pop(0) if key is not None else None
+            bits_l = None
+            if key_l is not None:
+                bits_l = bits_for(
+                    jax.random.fold_in(key_l, jax.lax.axis_index("data")),
+                    x_l.shape[1])
+            z, zsum, zssq, res = transition_half_int8(
+                x_l, w_l, wp_l, s_l, t_l, bits_l,
+                dropout_rate=self.dropout_prob, h=h, w_img=w,
+                quant_bwd=quant_bwd, interpret=interpret)
+            return (z, jax.lax.psum(zsum, "data"),
+                    jax.lax.psum(zssq, "data"), res)
+
+        in_specs = [P(None, "data"), P()]
+        args = [x_cs, w1]
+        if wp is not None:
+            in_specs.append(P())
+            args.append(wp)
+        in_specs += [P(), P()]
+        args += [s1, t1]
+        if key is not None:
+            in_specs.append(P())
+            args.append(key)
+        return jax.shard_map(
+            local, mesh=self.shard_mesh, in_specs=tuple(in_specs),
+            out_specs=(P(None, "data"), P(), P(), P(None, "data")),
+            check_vma=False)(*args)
 
     def lane_entry_eligible(self, x_shape, train: bool) -> bool:
         """True when this STAGE-TRANSITION block should run its conv2 on
@@ -633,6 +806,7 @@ class BottleneckResidualBlock(_BlockBase):
     int8_train: bool = False
     int8_train_bwd: bool = False
     inkernel_dropout: bool = False
+    lane_transition: bool = False
     shard_mesh: Any = None
 
     @property

@@ -438,8 +438,13 @@ class Sequential(Layer):
         if not self.layers:
             return False
         first = self.layers[0][1]
-        return (hasattr(first, "apply_lane")
-                and first.lane_eligible(x_shape, train))
+        if (hasattr(first, "apply_lane")
+                and first.lane_eligible(x_shape, train)):
+            return True
+        # a stage whose first block is a lane-through transition also
+        # consumes the open lane run (stride-2 parity-packed kernel)
+        return (hasattr(first, "apply_lane_through")
+                and first.lane_through_eligible(x_shape, train))
 
     def _apply_loop(self, params, state, x, lane, *, train, rng=None):
         # Transpose hoisting for the fused block-half path: a run of
@@ -469,6 +474,18 @@ class Sequential(Layer):
                     params.get(name, {}), state.get(name, {}), lane[0],
                     lane[1], train=train, rng=layer_rng)
                 lane = (x_cs, lane[1])
+            elif (hasattr(layer, "apply_lane_through") and lane is not None
+                  and len(shape) == 4
+                  and layer.lane_through_eligible(shape, train)):
+                # lane THROUGH op (a stage-transition block on the int8
+                # path with an open lane run): the strided conv consumes
+                # the lane layout directly (parity-packed stride-2
+                # kernel, ops/pallas/transition.py) — no NHWC round trip
+                # at the stage boundary at all
+                x_cs, out_shape, s = layer.apply_lane_through(
+                    params.get(name, {}), state.get(name, {}), lane[0],
+                    lane[1], train=train, rng=layer_rng)
+                lane = (x_cs, out_shape)
             elif (hasattr(layer, "apply_to_lane") and shape is not None
                   and len(shape) == 4
                   and layer.lane_entry_eligible(shape, train)):

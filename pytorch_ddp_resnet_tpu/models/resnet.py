@@ -109,6 +109,7 @@ def parse_spec(
     int8_train: bool = False,
     int8_train_bwd: bool = False,
     inkernel_dropout: bool = False,
+    lane_transition: bool = False,
     shard_mesh: Any = None,
 ) -> Sequential:
     """Token list -> Sequential of layers, threading the channel count."""
@@ -157,6 +158,7 @@ def parse_spec(
                     fused_block=fused_block, int8_train=int8_train,
                     int8_train_bwd=int8_train_bwd,
                     inkernel_dropout=inkernel_dropout,
+                    lane_transition=lane_transition,
                     shard_mesh=shard_mesh,
                     **(first_overrides if ell == 0 else overrides)),
             ))
@@ -230,6 +232,7 @@ class ResNet:
         int8_train: bool = False,
         int8_train_bwd: bool = False,
         inkernel_dropout: bool = False,
+        lane_transition: bool = False,
         shard_mesh: Any = None,
     ):
         self.architecture_spec = architecture_spec
@@ -243,12 +246,14 @@ class ResNet:
         self.int8_train = int8_train
         self.int8_train_bwd = int8_train_bwd
         self.inkernel_dropout = inkernel_dropout
+        self.lane_transition = lane_transition
         self.shard_mesh = shard_mesh
         self.spine = parse_spec(
             architecture_spec, preact, use_proj, dropout_prob, compute_dtype,
             remat=remat, pallas_conv=pallas_conv, fused_block=fused_block,
             int8_train=int8_train, int8_train_bwd=int8_train_bwd,
-            inkernel_dropout=inkernel_dropout, shard_mesh=shard_mesh,
+            inkernel_dropout=inkernel_dropout,
+            lane_transition=lane_transition, shard_mesh=shard_mesh,
         )
 
     def init(self, rng, input_shape: Shape):

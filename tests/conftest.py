@@ -35,13 +35,25 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
-    # `slow` marks the multi-minute integration tiers (subprocess
-    # rendezvous, full train-restart-continue): on by default so CI
-    # coverage is unchanged, opt out during development with
-    # `pytest -m "not slow"` (~halves the single-core wall clock).
+    # Two-tier suite (VERDICT r3 #5): `slow` marks the integration tier —
+    # subprocess rendezvous, full train-restart-continue, and every test
+    # measured >~6s on the single-core CI host (durations snapshot,
+    # round 4). The DEFAULT run skips them (~5 min instead of ~21); the
+    # full tier runs with RUN_SLOW_TESTS=1 (CI / pre-release) or an
+    # explicit -m selection (e.g. `-m slow`, `-m "slow or not slow"`).
     config.addinivalue_line(
-        "markers", "slow: multi-minute integration tests (deselect with "
-        "-m \"not slow\")")
+        "markers", "slow: integration tier, skipped by default "
+        "(RUN_SLOW_TESTS=1 or -m to include)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW_TESTS") == "1" or config.getoption("-m"):
+        return  # explicit -m selection manages markers itself
+    skip = pytest.mark.skip(
+        reason="slow tier (set RUN_SLOW_TESTS=1 or pass -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -31,6 +31,7 @@ def test_help_exits_zero(capsys):
     assert "TPU-native" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_main_train_then_eval(tmp_path, capsys):
     cfg = {
         "dataset_cls_name": "Synthetic",

@@ -112,6 +112,7 @@ def _batch(n=64, hw=8, seed=1):
                              jnp.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("preact", [True, False])
 def test_bneck_float_walk_matches_model_apply(preact):
     model, params, state = _bneck_model(preact)

@@ -164,6 +164,7 @@ def test_block_fused_matches_normal_no_dropout(rng_np):
         assert int(st_f[name]["count"]) == int(st_n[name]["count"]) == 1
 
 
+@pytest.mark.slow
 def test_block_fused_gradients_match_no_dropout(rng_np):
     block_n = _make_block(False)
     block_f = _make_block(True)
@@ -186,6 +187,7 @@ def test_block_fused_gradients_match_no_dropout(rng_np):
         assert np.abs(af - an).max() / denom < 5e-2, path
 
 
+@pytest.mark.slow
 def test_block_fused_with_dropout_runs_and_flows(rng_np):
     """Dropout bit streams legitimately differ between the paths (lane vs
     NHWC shapes); assert the fused path trains: finite output, correct
@@ -219,6 +221,7 @@ def test_block_fused_eval_uses_normal_path(rng_np):
                                   np.asarray(y_f, np.float32))
 
 
+@pytest.mark.slow
 def test_sequential_lane_hoisting_exact(rng_np):
     """Sequential's transpose hoisting (layers.py): a run of fused blocks
     executed in lane layout end-to-end must be EXACTLY the composition of

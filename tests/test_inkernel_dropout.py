@@ -96,6 +96,7 @@ def test_seed_mode_matches_array_mode(quant):
     np.testing.assert_array_equal(np.asarray(ys), np.asarray(ya))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quant_bwd", [False, True])
 def test_gradients_match_array_mode_across_tile_sizes(quant_bwd):
     """320 channels: the fwd (tile 1024), dgrad (2048) and wgrad (2048)
@@ -167,6 +168,7 @@ def test_standalone_quant_backward_kernels_seed_parity():
     np.testing.assert_array_equal(np.asarray(dw_s), np.asarray(dw_a))
 
 
+@pytest.mark.slow
 def test_shard_map_seed_path_runs():
     """Pod dispatch: with `shard_mesh` threaded, each data shard derives
     its own in-kernel seed (fold_in(key, axis_index) -> _dropout_bits);
@@ -279,6 +281,7 @@ def test_seed_refused_beyond_i32_indexing():
                       dropout_rate=0.3, h=256, w_img=256, interpret=True)
 
 
+@pytest.mark.slow
 def test_model_level_flag_trains():
     """ResidualBlock with int8_train + inkernel_dropout: one fwd/bwd on
     the lane path runs and produces finite, nonzero gradients that differ

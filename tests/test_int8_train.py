@@ -83,6 +83,7 @@ def test_quantization_error_at_int8_grain(rng_np):
     assert diff.mean() < 0.05 * np.abs(np.asarray(y2, np.float32)).mean()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("want_stats", [True, False])
 def test_gradients_are_straight_through(rng_np, want_stats):
     """With a LINEAR loss in y (cotangent independent of the forward
@@ -254,6 +255,7 @@ def test_int8_skips_spatial_crossover_gate():
     assert not blk_odd._fused_eligible((8, 4, 4, 24), True)
 
 
+@pytest.mark.slow
 def test_model_int8_train_step(rng_np):
     """End-to-end: a small preact ResNet with use_int8_train trains one
     step — finite loss/grads, loss close to the float model's."""
@@ -285,6 +287,7 @@ def test_model_int8_train_step(rng_np):
         assert bool(jnp.isfinite(leaf).all())
 
 
+@pytest.mark.slow
 def test_model_int8_bwd_train_step(rng_np):
     """Fully-quantized training end-to-end: int8_train_bwd grads are
     finite and close to the fwd-only QAT grads (same forward, int8-grain
@@ -372,6 +375,7 @@ def test_transition_block_int8_close_to_normal(rng_np, use_proj):
                 atol=1e-3)
 
 
+@pytest.mark.slow
 def test_transition_block_int8_grads_close(rng_np):
     bq, bn = _trans_blocks()
     params, state, _ = bn.init(jax.random.key(0), (8, 8, 32))
@@ -406,6 +410,7 @@ def test_transition_block_eval_uses_normal_path(rng_np):
                                   np.asarray(y_q, np.float32))
 
 
+@pytest.mark.slow
 def test_transition_lane_entry_threads_through_sequential(rng_np):
     """In a multi-stage model, the transition block consumes NHWC and
     emits LANE layout (Sequential lane-entry branch): end-to-end training
@@ -437,6 +442,7 @@ def test_transition_lane_entry_threads_through_sequential(rng_np):
         assert bool(jnp.isfinite(leaf).all())
 
 
+@pytest.mark.slow
 def test_transition_int8_with_remat(rng_np):
     """remat=True wraps apply_to_lane in jax.checkpoint — the static
     shape tuple must survive and the grads stay finite."""

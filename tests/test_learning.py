@@ -29,6 +29,7 @@ from pytorch_ddp_resnet_tpu.data.transforms import (
 )
 from pytorch_ddp_resnet_tpu.models import ResNet
 from pytorch_ddp_resnet_tpu.utils.optim import get_optimizer
+import pytest
 
 HW = 16
 
@@ -51,6 +52,7 @@ def _make_xor_patterns(n, seed=0):
     return np.clip(x, 0, 255).astype(np.uint8), (b1 ^ b2).astype(np.int32)
 
 
+@pytest.mark.slow
 def test_learns_nonlinear_task():
     xtr, ytr = _make_xor_patterns(2048, seed=0)
     xte, yte = _make_xor_patterns(512, seed=7)

@@ -138,6 +138,7 @@ def test_conv3x3_same_custom_vjp_matches_autodiff():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_pallas_conv_flag_equivalence():
     """A model built with use_pallas_conv routes its stride-1 3x3 convs
     through the kernel and reproduces the lax.conv model's loss and grads

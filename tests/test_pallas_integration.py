@@ -11,6 +11,7 @@ from pytorch_ddp_resnet_tpu.data.datasets import load_synthetic
 from pytorch_ddp_resnet_tpu.data.pipeline import build_transforms
 from pytorch_ddp_resnet_tpu.ops.pallas.augment import try_from_transforms
 from pytorch_ddp_resnet_tpu.utils.config import get_config
+import pytest
 
 CONFIG = {
     "dataset_cls_name": "Synthetic",
@@ -52,6 +53,7 @@ def _run_config(tmp_path, run_name):
                       data_dir=str(tmp_path / "data"), verbose=False)
 
 
+@pytest.mark.slow
 def test_pallas_augment_e2e_training(tmp_path):
     config = _run_config(tmp_path, "pallas_run")
     ls = setup(config, verbose=False)
@@ -60,6 +62,7 @@ def test_pallas_augment_e2e_training(tmp_path):
     assert stats["global_step"] == 6
 
 
+@pytest.mark.slow
 def test_pattern_matcher_rejects_nonmatching(tmp_path):
     ds = load_synthetic(None, train=True, n_train=64)
     # ZCA whitening is not expressible in the fused kernel

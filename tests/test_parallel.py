@@ -40,6 +40,7 @@ def test_mesh_has_8_devices():
     assert mesh.size == 8  # conftest forces 8 virtual CPU devices
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     model, opt, ts = _system()
     step = make_train_step(model, opt, num_microbatches=1)
@@ -162,6 +163,7 @@ def test_process_local_extent_single_process_covers_all():
     assert (lo, hi) == (0, 8)
 
 
+@pytest.mark.slow
 def test_sharded_fused_block_matches_single_device():
     """The fused block-half path (interpret-mode Pallas on CPU) under the
     8-device mesh must reproduce the single-device result — sync-BN batch
@@ -203,6 +205,7 @@ def _grad_and_state(model, params, state, x, y):
     return float(l), g, ns
 
 
+@pytest.mark.slow
 def test_shard_mesh_fused_block_matches_single_device():
     """With `shard_mesh` threaded (pod mode), the bf16 fused path runs
     per-shard kernels under shard_map with psum'd sync-BN sums — and must
@@ -232,6 +235,7 @@ def test_shard_mesh_fused_block_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_mesh_int8_fqt_close_to_single_device():
     """The int8 FQT path under shard_mesh: per-TILE activation/gradient
     scales see a different tile decomposition per shard, so outputs and

@@ -8,6 +8,7 @@ from pytorch_ddp_resnet_tpu.algos.predict import load_predictor
 from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
 from pytorch_ddp_resnet_tpu.data.datasets import load_synthetic
 from pytorch_ddp_resnet_tpu.utils.config import get_config
+import pytest
 
 CONFIG = {
     "dataset_cls_name": "Synthetic",
@@ -38,6 +39,7 @@ CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_predictor_roundtrip(tmp_path):
     base = tmp_path / "models_dir" / "run"
     base.mkdir(parents=True)

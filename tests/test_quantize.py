@@ -64,6 +64,7 @@ def test_float_path_matches_model_apply(preact):
         "01_stack/block1/conv1", "01_stack/block1/conv2"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("preact", [True, False])
 def test_int8_serving_close_to_float(preact):
     model, params, state = _tiny_model(preact)
@@ -79,6 +80,7 @@ def test_int8_serving_close_to_float(preact):
     assert (jnp.argmax(ql, -1) == jnp.argmax(ref, -1)).all()
 
 
+@pytest.mark.slow
 def test_out_of_calibration_range_clips_not_explodes():
     model, params, state = _tiny_model(True)
     inf = Int8Inference(model, params, state)
@@ -107,6 +109,7 @@ def test_ineligible_width_returns_no_scales():
 
 @pytest.mark.parametrize("preact,use_proj", [(True, True), (False, True),
                                              (True, False)])
+@pytest.mark.slow
 def test_transition_blocks_quantize_conv2_only(preact, use_proj):
     # WRN-shaped two-stage net: the stage transition (downsample + channel
     # doubling) quantizes conv2 (3x3/s1 at the output geometry, shortcut
@@ -159,6 +162,7 @@ _CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_predictor_int8_roundtrip(tmp_path):
     from pytorch_ddp_resnet_tpu.algos.predict import load_predictor
     from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop
@@ -191,6 +195,7 @@ def test_predictor_int8_roundtrip(tmp_path):
     assert acc_q >= acc_f - 0.1, (acc_q, acc_f)
 
 
+@pytest.mark.slow
 def test_predictor_int8_rejects_ineligible_model(tmp_path):
     from pytorch_ddp_resnet_tpu.algos.predict import load_predictor
     from pytorch_ddp_resnet_tpu.algos.train import setup, training_loop

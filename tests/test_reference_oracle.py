@@ -102,6 +102,7 @@ SPECS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("spec,preact,use_proj", SPECS)
 def test_logits_match_reference(spec, preact, use_proj):
     from resnet.architectures.resnet import ResNet as TorchResNet

@@ -8,10 +8,12 @@ import numpy as np
 from pytorch_ddp_resnet_tpu.algos.steps import init_train_state, make_train_step
 from pytorch_ddp_resnet_tpu.models import ResNet
 from pytorch_ddp_resnet_tpu.utils.optim import sgd
+import pytest
 
 SPEC = "c3,8,3,1,1 n a r1 r1 ap4,1,0 fc16,10"
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8, 8, 3)),
                     jnp.float32)

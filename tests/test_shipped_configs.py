@@ -39,6 +39,7 @@ INPUT_HW = {"wrn-50-2-bottleneck_ilsvrc2012": 224,
 RUNS = sorted(os.listdir(MODELS_DIR))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("run_name", RUNS)
 def test_config_builds(run_name):
     path = os.path.join(MODELS_DIR, run_name, "config.yaml")

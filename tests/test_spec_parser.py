@@ -90,6 +90,7 @@ GOLDENS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,spec,preact,proj,hw,classes,count", GOLDENS)
 def test_golden_param_counts_and_shapes(name, spec, preact, proj, hw, classes, count):
     model = ResNet(spec, preact, proj, 0.0, compute_dtype=jnp.float32)
@@ -119,6 +120,7 @@ EXTENDED_GOLDENS = [
 
 @pytest.mark.parametrize("name,spec,preact,proj,hw,classes,count",
                          EXTENDED_GOLDENS)
+@pytest.mark.slow
 def test_extended_golden_param_counts(name, spec, preact, proj, hw, classes,
                                       count):
     model = ResNet(spec, preact, proj, 0.0, compute_dtype=jnp.float32)

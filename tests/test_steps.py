@@ -60,6 +60,7 @@ def test_metrics_match_direct_computation():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_microbatch_sum_matches_manual_accumulation():
     """grad_reduction='sum' reproduces the reference's repeated
     loss.backward() before one optimizer step (training.py:99-113)."""
@@ -104,6 +105,7 @@ def test_microbatch_sum_matches_manual_accumulation():
                                    rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_microbatch_mean_reduction_scales_grads():
     model, opt, ts0 = _make()
     x, y = _data(n=32)
@@ -125,6 +127,7 @@ def test_microbatch_mean_reduction_scales_grads():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_compute_path_trains():
     model, opt, ts = _make(compute_dtype=jnp.bfloat16, dropout=0.1)
     step = jax.jit(steps_lib.make_train_step(model, opt, num_microbatches=1))
@@ -193,6 +196,7 @@ def test_eval_deterministic():
         assert float(a[k]) == float(b[k])  # bitwise-deterministic
 
 
+@pytest.mark.slow
 def test_train_step_differentiates_through_maxpool():
     """Regression: reduce_window-max AD requires a scalar init value; specs
     with 'mp' components (the ImageNet stem) must train."""
@@ -210,6 +214,7 @@ def test_train_step_differentiates_through_maxpool():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_is_equivalent():
     """A training_loop run with steps_per_dispatch=4 must match the unchunked
     run: identical per-step rng/lr derivations inside the scanned dispatch.

@@ -95,6 +95,7 @@ def test_host_sample_processor(tmp_path):
     assert img.shape == img3.shape
 
 
+@pytest.mark.slow
 def test_build_streaming_data_and_train(tmp_path):
     _make_folder(str(tmp_path), "train")
     _make_folder(str(tmp_path), "val", n_per_class=5)

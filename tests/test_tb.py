@@ -31,6 +31,7 @@ def test_roundtrip_scalars(tmp_path):
     assert vals[(1, "val/top1_err")] == pytest.approx(0.25)
 
 
+@pytest.mark.slow
 def test_real_tensorboard_can_read_our_files(tmp_path):
     ea_mod = pytest.importorskip(
         "tensorboard.backend.event_processing.event_accumulator")

@@ -59,7 +59,9 @@ def build_chunk(steps: int):
                                or os.environ.get("BENCH_INT8_BWD") == "1"),
                    int8_train_bwd=os.environ.get("BENCH_INT8_BWD") == "1",
                    inkernel_dropout=(
-                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"))
+                       os.environ.get("BENCH_INKERNEL_DROPOUT") == "1"),
+                   lane_transition=(
+                       os.environ.get("BENCH_LANE_TRANSITION") == "1"))
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 5e-4})
     ds = load_synthetic(None, train=True, n_train=4096,
