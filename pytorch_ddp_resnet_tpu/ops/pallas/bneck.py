@@ -156,9 +156,10 @@ def _requant(acc, p_ref, q_ref):
 
 def _bneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, p1_ref, q1_ref,
                   p2_ref, q2_ref, p3_ref, q3_ref, r_ref, out_ref, *,
-                  h, w, stride, taps, emit_int8):
+                  h, w, stride, emit_int8, conv2_impl):
     x = x_ref[0]                                              # [M, Cin] s8
     m = x.shape[0]
+    wdt = w1_ref.shape[1]
 
     # conv1 (1x1): [M, Cin] @ [Cin, W] -> s32
     acc1 = jax.lax.dot_general(
@@ -169,12 +170,32 @@ def _bneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, p1_ref, q1_ref,
     a1 = jnp.where(_image_mask(m, a1.shape[1], h=h, w=w, stride=stride),
                    a1, jnp.zeros_like(a1))
 
-    # conv2 (3x3 SAME): nine shifted tap dots on the flat tile
-    acc2 = jnp.zeros((m, a1.shape[1]), jnp.int32)
-    for t, o in enumerate(taps):
-        acc2 = acc2 + jax.lax.dot_general(
-            _shift_flat(a1, o), w2_ref[t], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+    # conv2 (3x3 SAME) on the flat tile
+    acc2 = jnp.zeros((m, wdt), jnp.int32)
+    if conv2_impl == "grouped3":
+        # dy-grouped K-packing (measured 2x over nine narrow tap dots at
+        # width 64, tools/bench_bneck.py): the three dy-shifts are
+        # whole-row moves (offset = +-stride, sublane-tile-aligned for
+        # stride >= 32), so packing them on K is one cheap concat; each
+        # dx then costs one +-1 sublane shift of the packed tile and one
+        # K=3W dot — 3 wide dots instead of 9 narrow ones.
+        colsy = jnp.concatenate(
+            [_shift_flat(a1, -stride), a1, _shift_flat(a1, stride)],
+            axis=1)                                           # [M, 3W]
+        wg = w2_ref[:].reshape(3, 3, wdt, wdt)                # [dy,dx,i,o]
+        for dx in range(3):
+            acc2 = acc2 + jax.lax.dot_general(
+                _shift_flat(colsy, dx - 1),
+                wg[:, dx].reshape(3 * wdt, wdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+    else:  # "dots9": nine shifted tap dots
+        for t, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                     for dx in range(3)):
+            o = (dy - 1) * stride + (dx - 1)
+            acc2 = acc2 + jax.lax.dot_general(
+                _shift_flat(a1, o), w2_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
     a2 = _requant(acc2, p2_ref, q2_ref)                       # [M, W] s8
 
     # conv3 (1x1) + BN affine + residual + relu
@@ -190,10 +211,11 @@ def _bneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, p1_ref, q1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "emit_int8",
-                                             "interpret"))
+                                             "conv2_impl", "interpret"))
 def bneck_block_int8(q_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
                      w3q: jax.Array, p1, q1, p2, q2, p3, q3, r, *,
                      h: int, w: int, emit_int8: bool = True,
+                     conv2_impl: str = "grouped3",
                      interpret: bool = False):
     """One identity-shortcut post-act bottleneck block, fully fused.
 
@@ -215,8 +237,8 @@ def bneck_block_int8(q_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
         raise ValueError(f"carrier M={m} does not match {h}x{w} -> {m2}")
     if cout != cin:
         raise ValueError("identity-shortcut block needs Cout == Cin")
-    taps = tuple((dy - 1) * stride + (dx - 1)
-                 for dy in range(3) for dx in range(3))
+    if conv2_impl not in ("grouped3", "dots9"):
+        raise ValueError(f"unknown conv2_impl {conv2_impl!r}")
 
     def vec(c):
         return pl.BlockSpec((1, c), lambda i: (0, 0),
@@ -228,7 +250,7 @@ def bneck_block_int8(q_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bneck_kernel, h=h, w=w, stride=stride,
-                               taps=taps, emit_int8=emit_int8)
+                               emit_int8=emit_int8, conv2_impl=conv2_impl)
     out_dtype = jnp.int8 if emit_int8 else jnp.bfloat16
     fvec = lambda v, c: jnp.asarray(v, jnp.float32).reshape(1, c)
     args = [q_in, w1q, w2q, w3q,

@@ -105,11 +105,13 @@ def test_flat_geometry_and_roundtrip():
 
 @pytest.mark.parametrize("h,w,cin,wdt", [(6, 5, 16, 8), (14, 14, 32, 16)])
 @pytest.mark.parametrize("emit_int8", [True, False])
-def test_kernel_matches_2d_mirror(h, w, cin, wdt, emit_int8):
+@pytest.mark.parametrize("conv2_impl", ["grouped3", "dots9"])
+def test_kernel_matches_2d_mirror(h, w, cin, wdt, emit_int8, conv2_impl):
     rng = np.random.default_rng(0)
     ops = _rand_block_operands(rng, h, w, cin, wdt)
     got = bneck_block_int8(*[jnp.asarray(o) for o in ops[:-1]], ops[-1],
-                           h=h, w=w, emit_int8=emit_int8, interpret=True)
+                           h=h, w=w, emit_int8=emit_int8,
+                           conv2_impl=conv2_impl, interpret=True)
     want = _mirror_block(*ops, h=h, w=w, emit_int8=emit_int8)
     g = np.asarray(unpad_flat(jnp.asarray(got), h, w))
     m = np.asarray(unpad_flat(jnp.asarray(want), h, w))

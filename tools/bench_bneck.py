@@ -1,0 +1,143 @@
+"""A/B the fused int8 bottleneck-block kernel (ops/pallas/bneck.py)
+against the bf16 XLA block at the ResNet-50 / WRN-50-2 stage shapes.
+
+Methodology: chained-ops timing (tools/bench_conv.py / CLAUDE.md) — the
+block is data-dependently chained inside one dispatch at two chain
+lengths and the times differenced, so the tunnel RTT cancels. Identity
+bottleneck blocks map [N,H,W,C] -> [N,H,W,C], so chaining is natural:
+the bf16 chain carries NHWC bf16, the fused chain carries the kernel's
+padded-flat int8.
+
+Usage: python tools/bench_bneck.py [b] (default 128)
+"""
+
+import functools
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
+    bneck_block_int8,
+    flat_geometry,
+    quantize_pad_flat,
+)
+
+
+def _readback(x):
+    return float(jnp.ravel(x)[0].astype(jnp.float32))
+
+
+def _t(jfn, args, outer=5):
+    _readback(jfn(*args))
+    ts = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        _readback(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def timeit(make, args, inner=8):
+    t1 = _t(jax.jit(make(inner)), args)
+    t2 = _t(jax.jit(make(2 * inner)), args)
+    return max(t2 - t1, 1e-9) / inner
+
+
+# R50 widths and WRN-50-2 widths per stage: (h, w, cin, width)
+STAGES = [
+    ("r50-s1", 56, 56, 256, 64),
+    ("r50-s2", 28, 28, 512, 128),
+    ("r50-s3", 14, 14, 1024, 256),
+    ("r50-s4", 7, 7, 2048, 512),
+    ("wrn50-s1", 56, 56, 256, 128),
+    ("wrn50-s2", 28, 28, 512, 256),
+    ("wrn50-s3", 14, 14, 1024, 512),
+]
+
+
+def bf16_block(x, w1, w2, w3, i1, t1, i2, t2, i3, t3):
+    """The shipped float serving block (models/quantize.py float path):
+    bf16 convs, f32 BN eval affines + relu, identity residual."""
+    xf = x.astype(jnp.float32)
+    conv = lambda a, wt: jax.lax.conv_general_dilated(
+        a.astype(jnp.bfloat16), wt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
+    a1 = jnp.maximum(conv(xf, w1) * i1 + t1, 0.0)
+    a2 = jnp.maximum(conv(a1, w2) * i2 + t2, 0.0)
+    z3 = conv(a2, w3) * i3 + t3
+    return jnp.maximum(xf + z3, 0.0).astype(jnp.bfloat16)
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    print(f"devices: {jax.devices()}  batch={b}", flush=True)
+    rng = np.random.default_rng(0)
+
+    for name, h, w, cin, wdt in STAGES:
+        rows, stride, m = flat_geometry(h, w)
+        gflop = 2 * b * h * w * (cin * wdt + 9 * wdt * wdt + wdt * cin) / 1e9
+
+        # ---- bf16 XLA chain ----
+        w1 = jnp.asarray(rng.normal(0, 0.05, (1, 1, cin, wdt)), jnp.bfloat16)
+        w2 = jnp.asarray(rng.normal(0, 0.05, (3, 3, wdt, wdt)), jnp.bfloat16)
+        w3 = jnp.asarray(rng.normal(0, 0.05, (1, 1, wdt, cin)), jnp.bfloat16)
+        aff = lambda k, s=1.0: (jnp.asarray(rng.uniform(0.9, 1.1, (k,)) * s,
+                                            jnp.float32),
+                                jnp.asarray(rng.uniform(-.01, .01, (k,)),
+                                            jnp.float32))
+        i1, t1 = aff(wdt)
+        i2, t2 = aff(wdt)
+        i3, t3 = aff(cin, 0.05)
+        x = jnp.asarray(rng.normal(0, 1, (b, h, w, cin)), jnp.bfloat16)
+
+        def make_f(k):
+            def f(x):
+                for _ in range(k):
+                    x = bf16_block(x, w1, w2, w3, i1, t1, i2, t2, i3, t3)
+                return x
+            return f
+
+        inner = 8 if h >= 56 else (16 if h >= 28 else 32)
+        tf = timeit(make_f, (x,), inner=inner)
+
+        # ---- fused int8 chain ----
+        q_in = quantize_pad_flat(x.astype(jnp.float32), 0.02)
+        w1q = jnp.asarray(rng.integers(-127, 128, (cin, wdt)), jnp.int8)
+        w2q = jnp.asarray(rng.integers(-127, 128, (9, wdt, wdt)), jnp.int8)
+        w3q = jnp.asarray(rng.integers(-127, 128, (wdt, cin)), jnp.int8)
+        vec = lambda k, s: jnp.full((k,), s, jnp.float32)
+        p1, q1 = vec(wdt, 1e-4), vec(wdt, 0.1)
+        p2, q2 = vec(wdt, 1e-4), vec(wdt, 0.1)
+        p3, q3 = vec(cin, 1e-4), vec(cin, 0.05)
+
+        def make_q(k, impl):
+            def f(q):
+                for _ in range(k):
+                    q = bneck_block_int8(q, w1q, w2q, w3q, p1, q1, p2, q2,
+                                         p3, q3, 1.0, h=h, w=w,
+                                         emit_int8=True, conv2_impl=impl)
+                return q
+            return f
+
+        tg = timeit(functools.partial(make_q, impl="grouped3"), (q_in,),
+                    inner=inner)
+        td = timeit(functools.partial(make_q, impl="dots9"), (q_in,),
+                    inner=inner)
+
+        print(f"{name:10s} h={h:2d} cin={cin:4d} w={wdt:4d} "
+              f"bf16 {tf*1e3:7.3f} ms ({gflop/tf/1e3:6.1f} T/s)  "
+              f"grouped3 {tg*1e3:7.3f} ms ({tf/tg:5.2f}x)  "
+              f"dots9 {td*1e3:7.3f} ms ({tf/td:5.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
