@@ -55,7 +55,8 @@ class Predictor:
         self._fwd_fn = fwd
         self._fwd = jax.jit(fwd)
 
-    def quantize_int8(self, calib_images: np.ndarray) -> int:
+    def quantize_int8(self, calib_images: np.ndarray,
+                      fused_bneck: bool = False) -> int:
         """Switch the serving forward to the w8a8 post-training-quantized
         path (models/quantize.py): eligible 3x3 convs run int8 x int8 on
         the MXU's 2x-rate mode via the lane-packed Pallas kernel.
@@ -64,7 +65,12 @@ class Predictor:
         e.g. a slice of the training set) used to calibrate per-conv
         activation scales through the float path. Calibration runs at the
         serving batch geometry, so scale placement and int8 eligibility
-        match the compiled program exactly.
+        match the compiled program exactly. fused_bneck: route eligible
+        identity bottleneck blocks through the fused int8 block kernel
+        (ops/pallas/bneck.py) instead of XLA int8 dots — default OFF:
+        despite 1.6-2.7x stage-level wins it measured 0.79-0.93x
+        END-TO-END at b128 @224 (custom-call boundary relayouts; see
+        BASELINE.md "Fused bottleneck kernel, round 4").
 
         Returns the number of quantized convs; raises ValueError when the
         model has no int8-eligible blocks (channel counts not divisible by
@@ -74,7 +80,8 @@ class Predictor:
             Int8Inference, calibrate)
 
         params, state = self._orig
-        inf = Int8Inference(self._model, params, state)
+        inf = Int8Inference(self._model, params, state,
+                            fused_bneck=fused_bneck)
         pre = self._preprocess
         pre_jit = jax.jit(pre) if pre else (lambda x: x)
         batches = [pre_jit(jnp.asarray(chunk))

@@ -77,6 +77,13 @@ from pytorch_ddp_resnet_tpu.models.blocks import (
     ResidualBlock,
 )
 from pytorch_ddp_resnet_tpu.models.layers import Sequential
+from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
+    bneck_block_int8,
+    fold_block_scales,
+    pack_w2,
+    quantize_pad_flat,
+    unpad_flat,
+)
 from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     _pick_tile,
     conv3x3_lanes,
@@ -159,6 +166,27 @@ def _bneck_eligible(block, shape) -> bool:
             and b * h * w >= 32 * block.in_channels)
 
 
+def _bneck_fused_eligible(block, shape) -> bool:
+    """Static gate for the FUSED bottleneck kernel (ops/pallas/bneck.py):
+    post-act identity-shortcut block at a geometry where the kernel's
+    stage-level A/B beats bf16 XLA (tools/bench_bneck.py, v5e b128:
+    1.62x/2.67x at ResNet-50 stages 1-2, 1.55-1.86x at WRN-50-2 stages
+    1-3; 0.46x at 7x7 where the padded-flat M waste is 3.3x). The
+    N >= 32*Cin crossover that gates the XLA-dot path lands on the same
+    stages here, so the two substrates share it; the fused path
+    additionally needs post-act ordering (the kernel folds the v1
+    epilogues) and 32-aligned channel counts for the int8 tiles."""
+    if not _bneck_eligible(block, shape):
+        return False
+    if block.preact:
+        return False
+    sub = {name: layer for name, layer, _ in block._sublayers()}
+    c2 = sub["conv2"]
+    return (c2.kernel_size == 3 and c2.padding == 1
+            and block.in_channels % 32 == 0
+            and block.bottleneck_channels % 32 == 0)
+
+
 def _transition_out_shape(block, shape):
     b, h, w, _ = shape
     st = block.stride
@@ -195,14 +223,16 @@ class Int8Inference:
     bit-identical to the float Predictor.
     """
 
-    def __init__(self, model, params, state):
+    def __init__(self, model, params, state, fused_bneck: bool = False):
         self.model = model
         self.params = params
         self.state = state
+        self.fused_bneck = fused_bneck
         self.interpret = jax.default_backend() != "tpu"
         # static per-(stack, block) conv weight quantization, packed for the
         # lane kernel: key -> (w_q_packed [Cout, 9*Cin] int8, scale [Cout])
         self._wq: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        self._wq_ready = False
 
     # --- weight prep -----------------------------------------------------
 
@@ -228,10 +258,16 @@ class Int8Inference:
 
     # --- the shared walk ---------------------------------------------------
 
-    def _forward(self, x, act_scales: Optional[Dict[str, Any]], stats=None):
+    def _forward(self, x, act_scales: Optional[Dict[str, Any]], stats=None,
+                 params=None, state=None):
         """One eval forward. ``act_scales=None`` -> float mode (optionally
-        recording absmax observers into ``stats``); dict -> int8 mode."""
-        model, params, state = self.model, self.params, self.state
+        recording absmax observers into ``stats``); dict -> int8 mode.
+        ``params``/``state`` default to the instance pytrees (closure
+        constants when jitted); pass them explicitly to keep big models'
+        weights out of the compiled program text (see serve_args_fn)."""
+        model = self.model
+        params = self.params if params is None else params
+        state = self.state if state is None else state
         cd = model.compute_dtype
 
         # flatten the spine (stacks expand to their blocks) so the int8
@@ -265,6 +301,16 @@ class Int8Inference:
                 return False
             return act_scales is None or f"{key}/conv1" in act_scales
 
+        def bneck_fused_ok(idx, shape) -> bool:
+            """Int8-mode-only gate for the fused block kernel: needs all
+            three conv-input scales (the float path records them)."""
+            key, obj, _, _ = items[idx]
+            if (not self.fused_bneck or act_scales is None
+                    or len(shape) != 4
+                    or not _bneck_fused_eligible(obj, shape)):
+                return False
+            return all(f"{key}/conv{i}" in act_scales for i in (1, 2, 3))
+
         def trans_ok(idx, shape) -> bool:
             key, obj, _, _ = items[idx]
             if not is_block(obj) or len(shape) != 4:
@@ -279,9 +325,38 @@ class Int8Inference:
 
         lane = None     # (x_cs, (b, h, w, c)) while inside an eligible run
         pending_q = None  # s8 conv1 input from the previous dual epilogue
+        bflat = None    # (q [N, M, C] int8, (b, h, w, c)) fused-bneck run
         for idx, (key, obj, p, s) in enumerate(items):
-            shape = lane[1] if lane is not None else getattr(x, "shape", ())
-            if eligible(idx, shape):
+            if bflat is not None:
+                shape = bflat[1]
+            elif lane is not None:
+                shape = lane[1]
+            else:
+                shape = getattr(x, "shape", ())
+            if bneck_fused_ok(idx, shape):
+                # fused bottleneck run: the carrier between consecutive
+                # eligible blocks is INT8 padded-flat; run entry
+                # (quantize+pad) and exit (unpad to NHWC) happen INSIDE
+                # the first/last kernels — XLA-side conversions cost more
+                # than the fused blocks save (ops/pallas/bneck.py doc)
+                pending_q = None
+                if lane is not None:
+                    x, lane = delane(lane), None
+                b_, h_, w_, _ = shape
+                s_in = act_scales[f"{key}/conv1"]
+                s_out = None
+                if idx + 1 < len(items) and bneck_fused_ok(idx + 1, shape):
+                    s_out = act_scales[f"{items[idx + 1][0]}/conv1"]
+                out = self._bneck_fused(
+                    obj, p, s, x if bflat is None else bflat[0], key,
+                    act_scales, s_in, s_out, h=h_, w=w_,
+                    entry=bflat is None)
+                if s_out is None:  # run exit: bf16 NHWC from the kernel
+                    x = out.astype(cd)
+                    bflat = None
+                else:
+                    bflat = (out, shape)
+            elif eligible(idx, shape):
                 if lane is None:
                     b, h, w, c = shape
                     x_cs = jnp.transpose(
@@ -387,8 +462,12 @@ class Int8Inference:
         xf = x.astype(jnp.float32)
 
         def conv3(a_f32, inv, sh):
-            """Mid 3x3 (bf16 XLA NHWC) + following BN affine + relu; no
-            observer — only the 1x1 inputs are ever quantized."""
+            """Mid 3x3 (bf16 XLA NHWC) + following BN affine + relu. The
+            XLA-dot int8 path keeps this conv bf16, but the fused block
+            kernel quantizes it too, so calibration records its input
+            observer alongside the 1x1s."""
+            if stats is not None:
+                stats[f"{key}/conv2"] = jnp.max(jnp.abs(a_f32))
             z = jax.lax.conv_general_dilated(
                 a_f32.astype(cd), p["conv2"]["w"].astype(cd), (1, 1),
                 "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -435,6 +514,44 @@ class Int8Inference:
         a2 = conv3(a1, i2, t2)
         z3 = dot_int8(a2, "conv3", s3) * i3 + t3
         return jnp.maximum(xf + z3, 0.0).astype(cd)
+
+    def _bneck_fused(self, block, p, s, x_in, key, act_scales, s_in,
+                     s_out, *, h, w, entry):
+        """One identity-shortcut post-act bottleneck block on the fused
+        kernel (ops/pallas/bneck.py): all three convs int8 on the MXU's
+        2x mode, BN/relu/requant epilogues in VMEM. ``entry`` -> x_in is
+        NHWC float and the kernel quantizes+packs it; otherwise x_in is
+        the int8 padded-flat carrier. ``s_out`` names the next block's
+        conv1 scale (int8 carrier out) or None (NHWC bf16 out)."""
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+        i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
+        s2 = act_scales[f"{key}/conv2"]
+        s3 = act_scales[f"{key}/conv3"]
+
+        def qw(cname, packer):
+            ckey = f"{key}/{cname}:flat"
+            if ckey not in self._wq:
+                with jax.ensure_compile_time_eval():
+                    w_q, scale = quantize_conv_weights(p[cname]["w"])
+                    self._wq[ckey] = (packer(w_q), scale)
+            return self._wq[ckey]
+
+        cin = block.in_channels
+        wdt = block.bottleneck_channels
+        w1q, w1s = qw("conv1", lambda wq: wq.reshape(cin, wdt))
+        w2q, w2s = qw("conv2", pack_w2)
+        w3q, w3s = qw("conv3", lambda wq: wq.reshape(wdt, cin))
+        folded = fold_block_scales(
+            s_in, s2, s3, 1.0 if s_out is None else s_out,
+            w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
+        return bneck_block_int8(
+            x_in, w1q, w2q, w3q, *folded, s_in if entry else None,
+            h=h, w=w,
+            in_mode="nhwc" if entry else "flat_int8",
+            out_mode="flat_int8" if s_out is not None else "nhwc_bf16",
+            interpret=self.interpret)
 
     def _transition_lane(self, block, p, s, x, key, act_scales, stats,
                          nxt=None):
@@ -584,9 +701,10 @@ class Int8Inference:
         """Jittable float forward with observers:
         ``f(x_nhwc) -> (logits, {conv_key: absmax})``."""
 
-        def f(x):
+        def f(x, params=None, state=None):
             stats: Dict[str, Any] = {}
-            logits = self._forward(x, None, stats)
+            logits = self._forward(x, None, stats, params=params,
+                                   state=state)
             return logits, stats
 
         return f
@@ -595,9 +713,48 @@ class Int8Inference:
         """Jittable int8 forward ``f(x_nhwc) -> logits``. ``act_scales``
         maps conv keys to per-tensor input scales (absmax/127). Scales are
         kept as Python floats: conv1's output scale is a *static* kernel
-        constant (the fused epilogue quantizes for the next conv)."""
+        constant (the fused epilogue quantizes for the next conv).
+
+        Weights ride the returned closure, so jitting it bakes them into
+        the program text as constants — fine for CIFAR-scale models, but
+        ImageNet-scale programs exceed the tunnel's compile-request limit
+        (measured: HTTP 413 at ResNet-50 @224). Use serve_args_fn there.
+        """
         scales = {k: float(v) for k, v in act_scales.items()}
         return lambda x: self._forward(x, scales)
+
+    def serve_args_fn(self, act_scales: Dict[str, Any]):
+        """Like serve_fn, but self-jitting with params/state/quantized
+        weights passed as ARGUMENTS (device buffers), not closure
+        constants: the compiled program text stays small. Returns
+        ``f(x_nhwc) -> logits``; do NOT wrap it in jax.jit (it already
+        is; re-jitting would re-capture the weights as constants)."""
+        scales = {k: float(v) for k, v in act_scales.items()}
+
+        jitted = jax.jit(lambda params, state, wq, x: self._forward_wq(
+            x, scales, params, state, wq))
+
+        def f(x):
+            if not self._wq_ready:
+                # one abstract trace with the instance pytrees (concrete)
+                # populates the eager per-conv quantized-weight cache;
+                # nothing is compiled or executed
+                jax.eval_shape(
+                    lambda xx: self._forward(xx, scales),
+                    jax.ShapeDtypeStruct(x.shape, jnp.float32))
+                self._wq_ready = True
+            return jitted(self.params, self.state, dict(self._wq), x)
+
+        return f
+
+    def _forward_wq(self, x, scales, params, state, wq):
+        """_forward against an explicit (traced) quantized-weight cache."""
+        saved = self._wq
+        self._wq = wq
+        try:
+            return self._forward(x, scales, params=params, state=state)
+        finally:
+            self._wq = saved
 
 
 def calibrate(inference: Int8Inference, batches) -> Dict[str, float]:
@@ -608,7 +765,9 @@ def calibrate(inference: Int8Inference, batches) -> Dict[str, float]:
     maxes: Dict[str, float] = {}
     n = 0
     for xb in batches:
-        _, stats = f(xb)
+        # params/state as jit ARGUMENTS: big models' weights must not be
+        # baked into the program text (tunnel compile-request limit)
+        _, stats = f(xb, inference.params, inference.state)
         for k, v in stats.items():
             v = float(v)
             maxes[k] = max(maxes.get(k, 0.0), v)

@@ -109,8 +109,10 @@ def unpad_flat(x_flat: jax.Array, h: int, w: int) -> jax.Array:
 
 
 def quantize_pad_flat(x_nhwc: jax.Array, scale: float) -> jax.Array:
-    """Entry quantization + padded-flat packing in one XLA fusion."""
-    q = jnp.clip(jnp.round(x_nhwc.astype(jnp.float32) / scale),
+    """Entry quantization + padded-flat packing in one XLA fusion.
+    Multiplies by the inverse scale — bit-identical to the kernel's
+    in_mode="nhwc" entry (x/s and x*(1/s) differ in f32)."""
+    q = jnp.clip(jnp.round(x_nhwc.astype(jnp.float32) * (1.0 / scale)),
                  -127.0, 127.0).astype(jnp.int8)
     return pad_flat(q)
 
@@ -155,11 +157,21 @@ def _requant(acc, p_ref, q_ref):
 
 
 def _bneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, p1_ref, q1_ref,
-                  p2_ref, q2_ref, p3_ref, q3_ref, r_ref, out_ref, *,
-                  h, w, stride, emit_int8, conv2_impl):
-    x = x_ref[0]                                              # [M, Cin] s8
-    m = x.shape[0]
+                  p2_ref, q2_ref, p3_ref, q3_ref, r_ref, qs_ref, out_ref, *,
+                  h, w, rows, stride, in_mode, out_mode, conv2_impl):
     wdt = w1_ref.shape[1]
+    m = rows * stride
+    if in_mode == "nhwc":
+        # run entry INSIDE the kernel: quantize + padded-flat packing are
+        # VMEM-local (an XLA-side entry costs a full quantize pass plus a
+        # pad clone plus a layout copy into the custom call — measured
+        # ~1.5 ms/run at ResNet-50 stage 1, BASELINE.md)
+        xn = x_ref[0].astype(jnp.float32) * qs_ref[0, 0]   # [h, w, Cin]
+        xq = jnp.clip(jnp.round(xn), -127.0, 127.0).astype(jnp.int8)
+        x = jnp.pad(xq, ((1, rows - 1 - h), (1, stride - 1 - w),
+                         (0, 0))).reshape(m, -1)
+    else:
+        x = x_ref[0]                                       # [M, Cin] s8
 
     # conv1 (1x1): [M, Cin] @ [Cin, W] -> s32
     acc1 = jax.lax.dot_general(
@@ -204,41 +216,67 @@ def _bneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, p1_ref, q1_ref,
         preferred_element_type=jnp.int32)
     y = acc3.astype(jnp.float32) * p3_ref[:] + q3_ref[:]
     y = jnp.maximum(x.astype(jnp.float32) * r_ref[0, 0] + y, 0.0)
-    if emit_int8:
+    if out_mode == "flat_int8":
         out_ref[0] = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-    else:
+    elif out_mode == "flat_bf16":
         out_ref[0] = y.astype(out_ref.dtype)
+    else:  # "nhwc_bf16": run exit inside the kernel (see in_mode note)
+        yv = y.reshape(rows, stride, -1)[1:1 + h, 1:1 + w, :]
+        out_ref[0] = yv.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "emit_int8",
-                                             "conv2_impl", "interpret"))
-def bneck_block_int8(q_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
-                     w3q: jax.Array, p1, q1, p2, q2, p3, q3, r, *,
-                     h: int, w: int, emit_int8: bool = True,
+@functools.partial(jax.jit, static_argnames=("h", "w", "in_mode",
+                                             "out_mode", "conv2_impl",
+                                             "interpret"))
+def bneck_block_int8(x_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
+                     w3q: jax.Array, p1, q1, p2, q2, p3, q3, r,
+                     s_in=None, *, h: int, w: int,
+                     in_mode: str = "flat_int8",
+                     out_mode: str = "flat_int8",
                      conv2_impl: str = "grouped3",
                      interpret: bool = False):
     """One identity-shortcut post-act bottleneck block, fully fused.
 
-    q_in: [N, M, Cin] int8 padded-flat carrier (M from flat_geometry).
-    w1q [Cin, W], w2q [9, W, W] (pack_w2), w3q [W, Cout] — int8
-    per-output-channel quantized; Cout == Cin (identity shortcut).
-    p1/q1, p2/q2 [W] f32 and p3/q3 [Cout] f32: folded epilogue affines
-    (see module doc). r: python float — residual rescale s_in / s_out
-    (s_out = 1 when emitting bf16).
+    x_in: the carrier — [N, M, Cin] int8 padded-flat (``in_mode=
+    "flat_int8"``, mid-run) or [N, h, w, Cin] float (``in_mode="nhwc"``,
+    run entry: quantization by ``s_in`` and padded-flat packing happen
+    inside the kernel). w1q [Cin, W], w2q [9, W, W] (pack_w2),
+    w3q [W, Cout] — int8 per-output-channel quantized; Cout == Cin
+    (identity shortcut). p1/q1, p2/q2 [W] f32 and p3/q3 [Cout] f32:
+    folded epilogue affines (see module doc). r: python float — residual
+    rescale s_in / s_out (s_out = 1 when emitting bf16).
 
-    Returns [N, M, Cout] int8 (emit_int8 — the next block's carrier) or
-    bf16 (run exit; unpad_flat + astype recovers NHWC).
+    out_mode: "flat_int8" (mid-run carrier [N, M, Cout] int8),
+    "flat_bf16" ([N, M, Cout] bf16; unpad_flat recovers NHWC), or
+    "nhwc_bf16" (run exit [N, h, w, Cout] bf16, unpadded in-kernel).
+
+    Keeping entry/exit INSIDE the kernel matters more than it looks:
+    the XLA-side equivalents cost ~3.2 ms/batch at ResNet-50 b128 —
+    quantize+pad fusions, slice-outs, and layout copies at the custom
+    call boundary — which is more than the fused kernels save
+    (BASELINE.md round 4).
     """
-    n, m, cin = q_in.shape
+    rows, stride, m = flat_geometry(h, w)
+    if in_mode == "flat_int8":
+        n, m_in, cin = x_in.shape
+        if m_in != m:
+            raise ValueError(f"carrier M={m_in} != {h}x{w} -> {m}")
+    elif in_mode == "nhwc":
+        n, h_in, w_in, cin = x_in.shape
+        if (h_in, w_in) != (h, w):
+            raise ValueError(f"input {x_in.shape} != {h}x{w}")
+        if s_in is None:
+            raise ValueError("in_mode='nhwc' needs the entry scale s_in")
+    else:
+        raise ValueError(f"unknown in_mode {in_mode!r}")
     wdt = w1q.shape[1]
     cout = w3q.shape[1]
-    rows, stride, m2 = flat_geometry(h, w)
-    if m != m2:
-        raise ValueError(f"carrier M={m} does not match {h}x{w} -> {m2}")
     if cout != cin:
         raise ValueError("identity-shortcut block needs Cout == Cin")
     if conv2_impl not in ("grouped3", "dots9"):
         raise ValueError(f"unknown conv2_impl {conv2_impl!r}")
+    if out_mode not in ("flat_int8", "flat_bf16", "nhwc_bf16"):
+        raise ValueError(f"unknown out_mode {out_mode!r}")
 
     def vec(c):
         return pl.BlockSpec((1, c), lambda i: (0, 0),
@@ -249,32 +287,50 @@ def bneck_block_int8(q_in: jax.Array, w1q: jax.Array, w2q: jax.Array,
         return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bneck_kernel, h=h, w=w, stride=stride,
-                               emit_int8=emit_int8, conv2_impl=conv2_impl)
-    out_dtype = jnp.int8 if emit_int8 else jnp.bfloat16
+    kernel = functools.partial(_bneck_kernel, h=h, w=w, rows=rows,
+                               stride=stride, in_mode=in_mode,
+                               out_mode=out_mode, conv2_impl=conv2_impl)
     fvec = lambda v, c: jnp.asarray(v, jnp.float32).reshape(1, c)
-    args = [q_in, w1q, w2q, w3q,
+    args = [x_in, w1q, w2q, w3q,
             fvec(p1, wdt), fvec(q1, wdt), fvec(p2, wdt), fvec(q2, wdt),
             fvec(p3, cout), fvec(q3, cout),
-            jnp.float32(r).reshape(1, 1)]
-    in_specs = [
+            jnp.float32(r).reshape(1, 1),
+            jnp.float32(0.0 if s_in is None else 1.0 / s_in).reshape(1, 1)]
+    in_spec_x = (
         pl.BlockSpec((1, m, cin), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM)
+        if in_mode == "flat_int8" else
+        pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    in_specs = [
+        in_spec_x,
         full((cin, wdt)), full((9, wdt, wdt)), full((wdt, cout)),
         vec(wdt), vec(wdt), vec(wdt), vec(wdt), vec(cout), vec(cout),
-        vec(1),
+        vec(1), vec(1),
     ]
+    if out_mode == "nhwc_bf16":
+        out_spec = pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, h, w, cout), jnp.bfloat16)
+    else:
+        out_spec = pl.BlockSpec((1, m, cout), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (n, m, cout),
+            jnp.int8 if out_mode == "flat_int8" else jnp.bfloat16)
     flops = 2 * n * m * (cin * wdt + 9 * wdt * wdt + wdt * cout)
+    in_bytes = n * m * cin * (1 if in_mode == "flat_int8" else 2)
+    out_bytes = n * (h * w if out_mode == "nhwc_bf16" else m) * cout \
+        * (1 if out_mode == "flat_int8" else 2)
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, m, cout), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, m, cout), out_dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(n * m * (cin + cout * (1 if emit_int8 else 2))
+            bytes_accessed=(in_bytes + out_bytes
                             + cin * wdt + 9 * wdt * wdt + wdt * cout),
             transcendentals=0),
         compiler_params=None if interpret else pltpu.CompilerParams(

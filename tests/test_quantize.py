@@ -211,3 +211,48 @@ def test_predictor_int8_rejects_ineligible_model(tmp_path):
     training_loop(config, setup(config, verbose=False), verbose=False)
     with pytest.raises(ValueError, match="no eligible convs"):
         load_predictor(config, batch_size=16, quantize="int8")
+
+
+def _bneck_model():
+    # 2-block identity bottleneck stack (post-act, ResNet-50 family):
+    # in=out=32, width 32 -- every block fused-kernel eligible at 16x16/b4
+    # (N = 4*16*16 = 1024 >= 32*cin = 1024)
+    spec = "c3,32,3,1,1 b2,32,32,1 n a ap16,1,0 fc32,10"
+    model = ResNet(spec, preact=False, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.float32)
+    params, state = model.init(jax.random.PRNGKey(2), (16, 16, 3))
+    return model, params, state
+
+
+def test_fused_bneck_serving_close_to_float():
+    """The fused bottleneck-kernel path (ops/pallas/bneck.py) tracks the
+    float model and the XLA-dot int8 path; the two int8 substrates see
+    the same calibration scales."""
+    from pytorch_ddp_resnet_tpu.models.blocks import BottleneckResidualBlock
+    from pytorch_ddp_resnet_tpu.models.quantize import _bneck_fused_eligible
+
+    model, params, state = _bneck_model()
+    x = _batch(4, 16)
+    # the gate actually admits these blocks (guards against the test
+    # silently exercising only the fallback)
+    blocks = [blk for _, layer in model.spine.layers
+              if hasattr(layer, "layers")
+              for _, blk in layer.layers
+              if isinstance(blk, BottleneckResidualBlock)]
+    assert len(blocks) == 2
+    assert all(_bneck_fused_eligible(b, (4, 16, 16, 32)) for b in blocks)
+
+    ref, _ = model.apply(params, state, x, train=False)
+    inf = Int8Inference(model, params, state, fused_bneck=True)
+    scales = calibrate(inf, [x])
+    assert all(f"01_stack/block{i}/conv{c}" in scales
+               for i in (0, 1) for c in (1, 2, 3)), sorted(scales)
+    fused = jax.jit(inf.serve_fn(scales))(x)
+    dot = jax.jit(Int8Inference(model, params, state,
+                                fused_bneck=False).serve_fn(scales))(x)
+    ref = jnp.asarray(ref, jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref)))
+    for got in (fused, dot):
+        assert float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - ref))) \
+            < 0.1 * scale + 0.05
+        assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()

@@ -139,5 +139,75 @@ def main():
               f"dots9 {td*1e3:7.3f} ms ({tf/td:5.2f}x)", flush=True)
 
 
+
+
+
+def e2e():
+    """End-to-end serving A/B on the full models: float bf16 vs int8
+    XLA-dot (the shipped 0.99x substrate) vs int8 fused-kernel. Random
+    init + synthetic calibration — pure perf; accuracy agreement is
+    validated separately on trained checkpoints. Timing follows
+    tools/eval_int8_serving.py serving_rate: k independent dispatches
+    queue on the device, one final readback, two lengths differenced
+    (explicit-params jits cannot ride an outer jit chain — the weights
+    would be re-captured as program constants, exceeding the tunnel's
+    compile-request limit)."""
+    from pytorch_ddp_resnet_tpu.models.quantize import (
+        Int8Inference, calibrate)
+    from pytorch_ddp_resnet_tpu.models.resnet import ResNet
+
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    print(f"devices: {jax.devices()}  batch={b}  @224", flush=True)
+    specs = {
+        "resnet-50": ("c3,64,7,2,3 n a mp3,2,1 b3,256,64,1 b4,512,128,2 "
+                      "b6,1024,256,2 b3,2048,512,2 ap7,1,0 fc2048,1000"),
+        "wrn-50-2": ("c3,64,7,2,3 n a mp3,2,1 b3,256,128,1 b4,512,256,2 "
+                     "b6,1024,512,2 b3,2048,1024,2 ap7,1,0 fc2048,1000"),
+    }
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (b, 224, 224, 3)), jnp.float32)
+
+    def rate(fn, k=32):
+        fn(x)
+        def run(n):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(n):
+                y = fn(x)
+            _readback(y)
+            return time.perf_counter() - t0
+        run(4)  # warm the queue
+        t_full, t_half = run(k), run(k // 2)
+        return (t_full - t_half) / (k - k // 2)
+
+    for name, spec in specs.items():
+        model = ResNet(spec, preact=False, use_proj=True, dropout_prob=0.0,
+                       compute_dtype=jnp.bfloat16)
+        params, state = model.init(jax.random.PRNGKey(0), (224, 224, 3))
+
+        jf = jax.jit(lambda p, s, xx, _m=model: _m.apply(
+            p, s, xx, train=False)[0])
+        ffloat = lambda xx: jf(params, state, xx)
+        inf_fused = Int8Inference(model, params, state, fused_bneck=True)
+        scales = calibrate(inf_fused, [x])
+        f_fused = inf_fused.serve_args_fn(scales)
+        f_dot = Int8Inference(model, params, state,
+                              fused_bneck=False).serve_args_fn(scales)
+
+        res = {}
+        for label, fn in [("float", ffloat), ("int8-dot", f_dot),
+                          ("int8-fused", f_fused)]:
+            res[label] = rate(fn)
+        print(f"{name:10s} float {res['float']*1e3:7.2f} ms/batch "
+              f"({b/res['float']:,.0f} img/s)  "
+              f"int8-dot {res['int8-dot']*1e3:7.2f} "
+              f"({res['float']/res['int8-dot']:4.2f}x)  "
+              f"int8-fused {res['int8-fused']*1e3:7.2f} "
+              f"({res['float']/res['int8-fused']:4.2f}x)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "e2e":
+        e2e()
+    else:
+        main()
