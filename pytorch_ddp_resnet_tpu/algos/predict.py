@@ -56,7 +56,7 @@ class Predictor:
         self._fwd = jax.jit(fwd)
 
     def quantize_int8(self, calib_images: np.ndarray,
-                      fused_bneck: bool = False) -> int:
+                      fused_bneck=False) -> int:
         """Switch the serving forward to the w8a8 post-training-quantized
         path (models/quantize.py): eligible 3x3 convs run int8 x int8 on
         the MXU's 2x-rate mode via the lane-packed Pallas kernel.

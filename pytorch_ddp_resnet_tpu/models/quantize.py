@@ -75,6 +75,7 @@ import numpy as np
 from pytorch_ddp_resnet_tpu.models.blocks import (
     BottleneckResidualBlock,
     ResidualBlock,
+    _subsample,
 )
 from pytorch_ddp_resnet_tpu.models.layers import Sequential
 from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
@@ -83,6 +84,13 @@ from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
     pack_w2,
     quantize_pad_flat,
     unpad_flat,
+)
+from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
+    bneck_block_nv,
+    bneck_transition_nv,
+    fold_transition_scales,
+    from_nv,
+    quantize_to_nv,
 )
 from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     _pick_tile,
@@ -187,6 +195,49 @@ def _bneck_fused_eligible(block, shape) -> bool:
             and block.bottleneck_channels % 32 == 0)
 
 
+def _nv_id_eligible(block, shape) -> bool:
+    """Static gate for the NV-trunk identity blocks (ops/pallas/
+    bneck_nv.py): post-act identity-shortcut bottleneck, 32-aligned
+    channels, pow2 batch (the kernels' W-coordinate masks use bit ops).
+    Unlike the XLA-dot path there is NO N >= 32*Cin crossover: the NV
+    carrier amortizes entry/exit over the whole trunk, so the 7x7 stage
+    rides along."""
+    if not isinstance(block, BottleneckResidualBlock) or block.preact:
+        return False
+    if getattr(block, "transforms_shortcut", True):
+        return False
+    if len(shape) != 4 or shape[3] != block.in_channels:
+        return False
+    b = shape[0]
+    sub = {name: layer for name, layer, _ in block._sublayers()}
+    c2 = sub["conv2"]
+    return (c2.kernel_size == 3 and c2.padding == 1 and c2.stride == 1
+            and block.in_channels % 32 == 0
+            and block.bottleneck_channels % 32 == 0
+            and b % 32 == 0 and b & (b - 1) == 0)
+
+
+def _nv_trans_eligible(block, shape) -> bool:
+    """Static gate for NV-trunk transition blocks: post-act projection
+    (use_proj) bottleneck at stride 1 or 2 (stride 2 needs even h, w —
+    the parity-select subsampling), all three channel counts 32-aligned,
+    pow2 batch."""
+    if not isinstance(block, BottleneckResidualBlock) or block.preact:
+        return False
+    if not getattr(block, "transforms_shortcut", False) or not block.use_proj:
+        return False
+    if len(shape) != 4 or shape[3] != block.in_channels:
+        return False
+    b, h, w, _ = shape
+    st = block.stride
+    if st not in (1, 2) or (st == 2 and (h % 2 or w % 2)):
+        return False
+    return (block.in_channels % 32 == 0
+            and block.bottleneck_channels % 32 == 0
+            and block.out_channels % 32 == 0
+            and b % 32 == 0 and b & (b - 1) == 0)
+
+
 def _transition_out_shape(block, shape):
     b, h, w, _ = shape
     st = block.stride
@@ -223,7 +274,12 @@ class Int8Inference:
     bit-identical to the float Predictor.
     """
 
-    def __init__(self, model, params, state, fused_bneck: bool = False):
+    def __init__(self, model, params, state, fused_bneck=False):
+        # fused_bneck: False -> XLA int8 dots for bottleneck blocks (the
+        # shipped substrate); True -> padded-flat fused kernel
+        # (ops/pallas/bneck.py; measured 0.79-0.93x e2e, kept for A/B);
+        # "nv" -> batch-in-sublanes NV trunk (ops/pallas/bneck_nv.py:
+        # identity AND transition blocks fused, int8 carriers end-to-end)
         self.model = model
         self.params = params
         self.state = state
@@ -297,9 +353,32 @@ class Int8Inference:
 
         def bneck_ok(idx, shape) -> bool:
             key, obj, _, _ = items[idx]
-            if len(shape) != 4 or not _bneck_eligible(obj, shape):
+            if len(shape) != 4:
                 return False
-            return act_scales is None or f"{key}/conv1" in act_scales
+            if _bneck_eligible(obj, shape):
+                return act_scales is None or f"{key}/conv1" in act_scales
+            # float-mode observer coverage for NV-trunk identity blocks
+            # the XLA-dot crossover rejects (e.g. the 7x7 stage): the
+            # float body computes any identity bottleneck correctly
+            return (act_scales is None and self.fused_bneck == "nv"
+                    and _nv_id_eligible(obj, shape))
+
+        def nv_ok(idx, shape) -> bool:
+            """Int8-mode gate for the NV trunk (identity AND transition
+            blocks; float-mode observers ride bneck_ok/nv_trans_float)."""
+            key, obj, _, _ = items[idx]
+            if (self.fused_bneck != "nv" or act_scales is None
+                    or len(shape) != 4):
+                return False
+            if not (_nv_id_eligible(obj, shape)
+                    or _nv_trans_eligible(obj, shape)):
+                return False
+            return all(f"{key}/conv{i}" in act_scales for i in (1, 2, 3))
+
+        def nv_trans_float_ok(idx, shape) -> bool:
+            key, obj, _, _ = items[idx]
+            return (act_scales is None and self.fused_bneck == "nv"
+                    and len(shape) == 4 and _nv_trans_eligible(obj, shape))
 
         def bneck_fused_ok(idx, shape) -> bool:
             """Int8-mode-only gate for the fused block kernel: needs all
@@ -326,14 +405,48 @@ class Int8Inference:
         lane = None     # (x_cs, (b, h, w, c)) while inside an eligible run
         pending_q = None  # s8 conv1 input from the previous dual epilogue
         bflat = None    # (q [N, M, C] int8, (b, h, w, c)) fused-bneck run
+        nvst = None     # (q [h, wp, N, C] int8, (b, h, w, c)) NV-trunk run
         for idx, (key, obj, p, s) in enumerate(items):
-            if bflat is not None:
+            if nvst is not None:
+                shape = nvst[1]
+            elif bflat is not None:
                 shape = bflat[1]
             elif lane is not None:
                 shape = lane[1]
             else:
                 shape = getattr(x, "shape", ())
-            if bneck_fused_ok(idx, shape):
+            if nv_ok(idx, shape):
+                # NV trunk: batch-in-sublanes int8 carriers through
+                # identity AND transition blocks — float boundaries only
+                # at the run's entry (quantize_to_nv) and exit (from_nv)
+                pending_q = None
+                if lane is not None:
+                    x, lane = delane(lane), None
+                s_in = act_scales[f"{key}/conv1"]
+                if nvst is None:
+                    x_nv = quantize_to_nv(x.astype(jnp.float32), s_in)
+                else:
+                    x_nv = nvst[0]
+                out_shape = (_transition_out_shape(obj, shape)
+                             if obj.transforms_shortcut else shape)
+                s_out = None
+                if idx + 1 < len(items) and nv_ok(idx + 1, out_shape):
+                    s_out = act_scales[f"{items[idx + 1][0]}/conv1"]
+                out = self._bneck_nv(obj, p, s, x_nv, key, act_scales,
+                                     s_in, s_out, shape=shape)
+                if s_out is None:
+                    x = from_nv(out, out_shape[2]).astype(cd)
+                    nvst = None
+                else:
+                    nvst = (out, out_shape)
+            elif nv_trans_float_ok(idx, shape):
+                # calibration observers for transition blocks (the float
+                # walk otherwise delegates them to block.apply)
+                pending_q = None
+                if lane is not None:
+                    x, lane = delane(lane), None
+                x = self._bneck_trans_float(obj, p, s, x, key, stats)
+            elif bneck_fused_ok(idx, shape):
                 # fused bottleneck run: the carrier between consecutive
                 # eligible blocks is INT8 padded-flat; run entry
                 # (quantize+pad) and exit (unpad to NHWC) happen INSIDE
@@ -552,6 +665,85 @@ class Int8Inference:
             in_mode="nhwc" if entry else "flat_int8",
             out_mode="flat_int8" if s_out is not None else "nhwc_bf16",
             interpret=self.interpret)
+
+    def _bneck_nv(self, block, p, s, x_nv, key, act_scales, s_in, s_out,
+                  *, shape):
+        """One post-act bottleneck block (identity OR transition) on the
+        NV-layout kernels (ops/pallas/bneck_nv.py). x_nv: the int8
+        [h, wp, N, C] carrier. ``s_out``: the next block's conv1 scale
+        (int8 carrier out) or None (bf16 NV out; from_nv recovers NHWC)."""
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+        i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
+        s2 = act_scales[f"{key}/conv2"]
+        s3 = act_scales[f"{key}/conv3"]
+        _, h, w, _ = shape
+        cin = block.in_channels
+        wdt = block.bottleneck_channels
+        cout = block.out_channels
+
+        def qw(cname, packer):
+            ckey = f"{key}/{cname}:flat"
+            if ckey not in self._wq:
+                with jax.ensure_compile_time_eval():
+                    w_q, scale = quantize_conv_weights(p[cname]["w"])
+                    self._wq[ckey] = (packer(w_q), scale)
+            return self._wq[ckey]
+
+        w1q, w1s = qw("conv1", lambda wq: wq.reshape(cin, wdt))
+        w2q, w2s = qw("conv2", pack_w2)
+        w3q, w3s = qw("conv3", lambda wq: wq.reshape(wdt, cout))
+        if block.transforms_shortcut:
+            wpq, wps = qw("proj", lambda wq: wq.reshape(cin, cout))
+            folded = fold_transition_scales(
+                s_in, s2, s3, 1.0 if s_out is None else s_out,
+                w1s, i1, t1, w2s, i2, t2, w3s, i3, t3, wps)
+            return bneck_transition_nv(
+                x_nv, w1q, w2q, w3q, wpq, *folded, w=w,
+                stride=block.stride, out_int8=s_out is not None,
+                interpret=self.interpret)
+        folded = fold_block_scales(
+            s_in, s2, s3, 1.0 if s_out is None else s_out,
+            w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
+        return bneck_block_nv(
+            x_nv, w1q, w2q, w3q, *folded, w=w,
+            out_int8=s_out is not None, interpret=self.interpret)
+
+    def _bneck_trans_float(self, block, p, s, x, key, stats):
+        """Float transition bottleneck with calibration observers at the
+        three conv inputs (mirrors BottleneckResidualBlock.apply
+        post-act eval semantics, models/blocks.py:889-908)."""
+        sub = {n: layer for n, layer, _ in block._sublayers()}
+        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
+        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
+        i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
+        cd = block.compute_dtype
+        st = block.stride
+        xf = x.astype(jnp.float32)
+
+        def obs(name, a):
+            if stats is not None:
+                stats[f"{key}/{name}"] = jnp.max(jnp.abs(a))
+
+        def conv(a_f32, cname, stride):
+            # explicit symmetric padding: "SAME" pads (0,1) at stride 2,
+            # the reference's padding=1 is (1,1) (models/layers.py Conv)
+            pad = 1 if cname == "conv2" else 0
+            z = jax.lax.conv_general_dilated(
+                a_f32.astype(cd), p[cname]["w"].astype(cd),
+                (stride, stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return z.astype(jnp.float32)
+
+        obs("conv1", xf)
+        a1 = jnp.maximum(conv(xf, "conv1", 1) * i1 + t1, 0.0)
+        obs("conv2", a1)
+        a2 = jnp.maximum(conv(a1, "conv2", st) * i2 + t2, 0.0)
+        obs("conv3", a2)
+        z3 = conv(a2, "conv3", 1) * i3 + t3
+        sc = conv(_subsample(xf, st), "proj", 1)
+        return jnp.maximum(sc + z3, 0.0).astype(cd)
 
     def _transition_lane(self, block, p, s, x, key, act_scales, stats,
                          nxt=None):

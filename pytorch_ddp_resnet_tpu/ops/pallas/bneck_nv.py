@@ -71,6 +71,14 @@ def nv_geometry(h: int, w: int) -> int:
     return wp
 
 
+def _check_nv(wp: int, w: int):
+    """Carriers may be WIDER than minimal (a stride-2 transition emits
+    wp_in//2, which can exceed nv_geometry of the output plane) — any
+    power of two >= w + 2 works; the masks only need pow2."""
+    if wp & (wp - 1) or wp < w + 2:
+        raise ValueError(f"wp={wp} is not a pow2 >= w+2={w + 2}")
+
+
 def to_nv(x_nhwc: jax.Array) -> jax.Array:
     """[N, h, w, C] -> [h, wp, N, C] with zero W-borders. Pure XLA; the
     transpose is layout-cheap against XLA's {3,0,2,1} conv outputs."""
@@ -212,10 +220,10 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     bf16 (run exit; from_nv recovers NHWC).
     """
     h, wp, n, cin = x_nv.shape
-    if wp != nv_geometry(h, w):
-        raise ValueError(f"wp={wp} does not match w={w}")
-    if n % 32:
-        raise ValueError(f"N={n} must be a multiple of the 32-row tile")
+    _check_nv(wp, w)
+    if n % 32 or n & (n - 1):
+        raise ValueError(f"N={n} must be a pow2 multiple of the 32-row "
+                         f"tile (the W-coordinate masks use bit ops)")
     wdt = w1q.shape[1]
     cout = w3q.shape[1]
     if cout != cin:
@@ -242,14 +250,19 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
             fvec(p1, wdt), fvec(q1, wdt), fvec(p2, wdt), fvec(q2, wdt),
             fvec(p3, cout), fvec(q3, cout),
             jnp.float32(r).reshape(1, 1)]
-    # three views of the carrier: main chunk + 1-row halo slivers whose
-    # indices clamp at the edges (zeroed in-kernel at k==0 / k==K-1)
+    # three views of the carrier: main chunk + 1-row halo slivers. The
+    # sliver indices are clamped EXPLICITLY at the edges (the interpret
+    # path clamps out-of-range block indices but the real Mosaic backend
+    # faults on them — FAILED_PRECONDITION device error, round 4); the
+    # kernel zeroes the clamped slivers' conv1 output at k==0 / k==K-1.
     in_specs = [
-        pl.BlockSpec((1, wp, n, cin), lambda k: (k * rch - 1, 0, 0, 0),
+        pl.BlockSpec((1, wp, n, cin),
+                     lambda k: (jax.lax.max(k * rch - 1, 0), 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rch, wp, n, cin), lambda k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, wp, n, cin), lambda k: (k * rch + rch, 0, 0, 0),
+        pl.BlockSpec((1, wp, n, cin),
+                     lambda k: (jax.lax.min(k * rch + rch, h - 1), 0, 0, 0),
                      memory_space=pltpu.VMEM),
         full((cin, wdt)), full((9, wdt, wdt)), full((wdt, cout)),
         vec(wdt), vec(wdt), vec(wdt), vec(wdt), vec(cout), vec(cout),
@@ -269,6 +282,268 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
             bytes_accessed=(h * wp * n * (cin * (rch + 2) // rch
                                           + cout * (1 if out_int8 else 2))
                             + cin * wdt + 9 * wdt * wdt + wdt * cout),
+            transcendentals=0),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+# --- transition-block kernel --------------------------------------------------
+#
+# The shortcut-transforming bottleneck block (stage entries): conv2 runs at
+# stride s (1 or 2) and the shortcut is a 1x1 projection on the
+# stride-subsampled input (models/blocks.py:899-905, post-act; reference
+# residual_block.py:102-215). In the NV layout stride-2 needs no gather:
+# input position (2*oy + dy - 1, NV col 2*ox + dx) for output (oy, ox)
+# factors into a ROW-PARITY select (reshape [.., 2, wp/2, 2, N, C], index
+# two middle dims) plus a +-N-row shift per dx — all tile-aligned because
+# N >= 32 rows of int8. The output wp is wp_in//2 (or nv_geometry of the
+# output plane if larger, zero-padded), so carriers stay NV end-to-end and
+# the ENTIRE trunk — transitions included — runs int8 between stem and head.
+
+
+def fold_transition_scales(s_in: float, s2: float, s3: float, s_out,
+                           w1s, i1, t1, w2s, i2, t2, w3s, i3, t3, wps):
+    """fold_block_scales (ops/pallas/bneck.py) for the transition block:
+    same (p1..q3) derivation; the residual term r becomes a per-channel
+    projection dequant pp (the post-act proj has NO BatchNorm —
+    models/blocks.py:899-903):
+        out_f = relu(accP * s_in*wps + acc3 * s3*w3s*i3 + t3), / s_out
+          -> pp = s_in * wps / s_out
+    """
+    from pytorch_ddp_resnet_tpu.ops.pallas.bneck import fold_block_scales
+    p1, q1, p2, q2, p3, q3, _ = fold_block_scales(
+        s_in, s2, s3, s_out, w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
+    pp = jnp.asarray(wps, jnp.float32) * (float(s_in) / float(s_out))
+    return p1, q1, p2, q2, p3, q3, pp
+
+
+def _sel_stride2(src: jax.Array, row_off: int, parity: int, *,
+                 nrows: int, wp2: int, n: int) -> jax.Array:
+    """From a flattened [>= (row_off + 2*nrows) * 2*wp2 * n, C] row space,
+    take rows (row_off + 2*i) for i < nrows and every-other wp-column at
+    ``parity``: reshape + two static middle-dim indices, all tile-aligned
+    (N >= 32 int8 sublane rows ride untouched)."""
+    c = src.shape[-1]
+    rowsz = 2 * wp2 * n
+    t = src[row_off * rowsz:(row_off + 2 * nrows) * rowsz]
+    v = t.reshape(nrows, 2, wp2, 2, n, c)[:, 0, :, parity]
+    return v.reshape(nrows * wp2 * n, c)
+
+
+def _nv_transition_kernel(head_ref, main_ref, tail_ref, w1_ref, w2_ref,
+                          w3_ref, wp_ref, p1_ref, q1_ref, p2_ref, q2_ref,
+                          p3_ref, q3_ref, pp_ref, out_ref, *, rchunk, wp_in,
+                          wp_out, n, w, nsteps, stride, out_int8,
+                          conv2_impl):
+    """rchunk = OUTPUT rows per grid step. stride==2: main_ref holds the
+    2*rchunk input rows of chunk k plus a 1-row head sliver (clamped at
+    k==0; no tail sliver — the dy=2 tap's last input row is 2*oh-1 = h-1).
+    stride==1: identity-kernel geometry (head + main + tail slivers)."""
+    k = pl.program_id(0)
+    cin = main_ref.shape[-1]
+    wdt = w1_ref.shape[1]
+    cout = w3_ref.shape[1]
+    wp2 = wp_in // 2 if stride == 2 else wp_in
+    rowsz = wp_in * n
+    in_rows = rchunk * stride
+
+    def c1(piece, zero_when):
+        v = piece[...].reshape(-1, cin)
+        acc = jax.lax.dot_general(v, w1_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        a = _requant(acc, p1_ref, q1_ref)
+        if zero_when is not None:
+            a = jnp.where(zero_when, jnp.zeros_like(a), a)
+        return a
+
+    a1h = c1(head_ref, k == 0)
+    a1m = c1(main_ref, None)
+    if stride == 1:
+        a1t = c1(tail_ref, k == nsteps - 1)
+        slab = jnp.concatenate([a1h, a1m, a1t], axis=0)
+    else:
+        # one zero row group so the dy=2 selection slice stays in range
+        # (its odd rows are discarded by the parity select)
+        slab = jnp.concatenate(
+            [a1h, a1m, jnp.zeros((rowsz, wdt), a1m.dtype)], axis=0)
+    slab = jnp.where(_wcol_mask(slab.shape[0], wdt, wp=wp_in, n=n, w=w),
+                     slab, jnp.zeros_like(slab))
+
+    m_out = rchunk * wp2 * n
+    acc2 = jnp.zeros((m_out, wdt), jnp.int32)
+    if stride == 1:
+        if conv2_impl == "grouped3":
+            wg = w2_ref[:].reshape(3, 3, wdt, wdt)
+            for dx in range(3):
+                cols = jnp.concatenate(
+                    [_shift_rows(slab, (dy * wp_in + dx - 1) * n)[:m_out]
+                     for dy in range(3)], axis=1)
+                acc2 = acc2 + jax.lax.dot_general(
+                    cols, wg[:, dx].reshape(3 * wdt, wdt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        else:
+            for t, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                         for dx in range(3)):
+                lhs = _shift_rows(slab, (dy * wp_in + dx - 1) * n)[:m_out]
+                acc2 = acc2 + jax.lax.dot_general(
+                    lhs, w2_ref[t], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+    else:
+        # tap (dy, dx) -> row offset dy (slab row 2*oy + dy), column
+        # parity dx&1, then a ((dx>>1) - 1)*N row shift in the selected
+        # space (output image col ox lands at NV col ox+1)
+        wg = w2_ref[:].reshape(3, 3, wdt, wdt)
+        if conv2_impl == "grouped3":
+            for dx in range(3):
+                cols = jnp.concatenate(
+                    [_sel_stride2(slab, dy, dx & 1, nrows=rchunk,
+                                  wp2=wp2, n=n) for dy in range(3)],
+                    axis=1)
+                acc2 = acc2 + jax.lax.dot_general(
+                    _shift_rows(cols, ((dx >> 1) - 1) * n),
+                    wg[:, dx].reshape(3 * wdt, wdt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        else:
+            for dy in range(3):
+                for dx in range(3):
+                    lhs = _shift_rows(
+                        _sel_stride2(slab, dy, dx & 1, nrows=rchunk,
+                                     wp2=wp2, n=n),
+                        ((dx >> 1) - 1) * n)
+                    acc2 = acc2 + jax.lax.dot_general(
+                        lhs, wg[dy, dx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    a2 = _requant(acc2, p2_ref, q2_ref)
+
+    acc3 = jax.lax.dot_general(a2, w3_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    # projection shortcut on the stride-subsampled input
+    xm = main_ref[...].reshape(in_rows * rowsz, cin)
+    if stride == 2:
+        # image (2*oy, 2*ox) = main row 2*oy, NV col 2*ox+1 (parity 1)
+        xs = _shift_rows(
+            _sel_stride2(xm, 0, 1, nrows=rchunk, wp2=wp2, n=n), -n)
+    else:
+        xs = xm
+    accp = jax.lax.dot_general(xs, wp_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    y = acc3.astype(jnp.float32) * p3_ref[:] + q3_ref[:]
+    y = jnp.maximum(accp.astype(jnp.float32) * pp_ref[:] + y, 0.0)
+    if out_int8:
+        o = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+    else:
+        o = y.astype(out_ref.dtype)
+    o = o.reshape(rchunk, wp2, n, cout)
+    if wp_out > wp2:
+        o = jnp.concatenate(
+            [o, jnp.zeros((rchunk, wp_out - wp2, n, cout), o.dtype)],
+            axis=1)
+    out_ref[...] = o
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w", "stride", "out_int8", "conv2_impl", "chunk_rows", "interpret"))
+def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
+                        w3q: jax.Array, wpq: jax.Array,
+                        p1, q1, p2, q2, p3, q3, pp, *,
+                        w: int, stride: int = 2, out_int8: bool = True,
+                        conv2_impl: str = "grouped3",
+                        chunk_rows: Optional[int] = None,
+                        interpret: bool = False):
+    """One shortcut-transforming post-act bottleneck block in the NV
+    layout: conv2 at ``stride``, 1x1 projection shortcut on the
+    subsampled input (use_proj=True; models/blocks.py:899-905).
+
+    x_nv: [h, wp_in, N, Cin] int8. wpq: [Cin, Cout] int8 projection.
+    pp: [Cout] f32 projection dequant (fold_transition_scales). Returns
+    [oh, wp_out, N, Cout] with oh = h/stride, wp_out = max(wp_in/stride,
+    nv_geometry(oh, ow)) — a valid NV carrier for the next block.
+    """
+    h, wp_in, n, cin = x_nv.shape
+    _check_nv(wp_in, w)
+    if n % 32 or n & (n - 1):
+        raise ValueError(f"N={n} must be a pow2 multiple of 32")
+    if stride not in (1, 2):
+        raise ValueError(f"stride={stride} not supported")
+    if stride == 2 and (h % 2 or w % 2):
+        raise ValueError(f"stride-2 transition needs even h, w; got "
+                         f"{h}x{w}")
+    wdt = w1q.shape[1]
+    cout = w3q.shape[1]
+    if wpq.shape != (cin, cout):
+        raise ValueError(f"projection {wpq.shape} != ({cin}, {cout})")
+    oh, ow = h // stride, w // stride
+    wp2 = wp_in // stride
+    wp_out = max(wp2, nv_geometry(oh, ow))
+    rch = chunk_rows or _pick_chunk(oh, stride * wp_in, n, cin)
+    if oh % rch:
+        raise ValueError(f"chunk_rows={rch} must divide oh={oh}")
+    nsteps = oh // rch
+
+    def vec(c):
+        return pl.BlockSpec((1, c), lambda k: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda k, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _nv_transition_kernel, rchunk=rch, wp_in=wp_in, wp_out=wp_out,
+        n=n, w=w, nsteps=nsteps, stride=stride, out_int8=out_int8,
+        conv2_impl=conv2_impl)
+    fvec = lambda v, c: jnp.asarray(v, jnp.float32).reshape(1, c)
+    args = [x_nv, x_nv, x_nv, w1q, w2q, w3q, wpq,
+            fvec(p1, wdt), fvec(q1, wdt), fvec(p2, wdt), fvec(q2, wdt),
+            fvec(p3, cout), fvec(q3, cout), fvec(pp, cout)]
+    s = stride
+    # sliver block indices are clamped EXPLICITLY (real Mosaic faults on
+    # out-of-range indices; see the identity kernel's note)
+    in_specs = [
+        pl.BlockSpec((1, wp_in, n, cin),
+                     lambda k: (jax.lax.max(k * rch * s - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rch * s, wp_in, n, cin), lambda k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # tail sliver: only consumed at stride 1 (clamped, zeroed there);
+        # at stride 2 it aliases the head block and is never read
+        pl.BlockSpec((1, wp_in, n, cin),
+                     (lambda k: (jax.lax.min(k * rch + rch, h - 1),
+                                 0, 0, 0)) if s == 1
+                     else (lambda k: (0, 0, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        full((cin, wdt)), full((9, wdt, wdt)), full((wdt, cout)),
+        full((cin, cout)),
+        vec(wdt), vec(wdt), vec(wdt), vec(wdt), vec(cout), vec(cout),
+        vec(cout),
+    ]
+    flops = (2 * h * wp_in * n * cin * wdt            # conv1 (all inputs)
+             + 2 * oh * wp2 * n * (9 * wdt * wdt      # conv2 (9 taps)
+                                   + wdt * cout       # conv3
+                                   + cin * cout))     # projection
+    return pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rch, wp_out, n, cout),
+                               lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (oh, wp_out, n, cout), jnp.int8 if out_int8 else jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(h * wp_in * n * cin
+                            + oh * wp_out * n * cout
+                            * (1 if out_int8 else 2)
+                            + cin * wdt + 9 * wdt * wdt + wdt * cout
+                            + cin * cout),
             transcendentals=0),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

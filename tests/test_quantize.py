@@ -256,3 +256,49 @@ def test_fused_bneck_serving_close_to_float():
         assert float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - ref))) \
             < 0.1 * scale + 0.05
         assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_nv_bneck_serving_close_to_float():
+    """The NV-trunk serving path (fused_bneck="nv", ops/pallas/bneck_nv.py)
+    runs identity AND transition bottleneck blocks on int8 NV carriers and
+    tracks the float model; its calibration walk records all three conv
+    scales for transitions too."""
+    from pytorch_ddp_resnet_tpu.models.quantize import (
+        _nv_id_eligible, _nv_trans_eligible)
+
+    # two stages: stage-2 entry is a stride-2 projection transition
+    spec = "c3,32,3,1,1 b2,32,32,1 b2,64,32,2 n a ap8,1,0 fc64,10"
+    model = ResNet(spec, preact=False, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.float32)
+    params, state = model.init(jax.random.PRNGKey(3), (16, 16, 3))
+    x = jax.random.normal(jax.random.PRNGKey(5), (32, 16, 16, 3),
+                          jnp.float32)
+
+    blocks = {f"{sname}/{bname}": blk
+              for sname, layer in model.spine.layers
+              if hasattr(layer, "layers")
+              for bname, blk in layer.layers}
+    assert _nv_id_eligible(blocks["01_stack/block0"], (32, 16, 16, 32))
+    assert _nv_trans_eligible(blocks["02_stack/block0"], (32, 16, 16, 32))
+    assert _nv_id_eligible(blocks["02_stack/block1"], (32, 8, 8, 64))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    inf = Int8Inference(model, params, state, fused_bneck="nv")
+    scales = calibrate(inf, [x])
+    # transition observers present (the flat walk leaves these to
+    # block.apply; the NV walk needs them)
+    assert all(f"02_stack/block0/conv{c}" in scales for c in (1, 2, 3)), \
+        sorted(scales)
+    got = jax.jit(inf.serve_fn(scales))(x)
+    dot = jax.jit(Int8Inference(model, params, state,
+                                fused_bneck=False).serve_fn(scales))(x)
+    ref = jnp.asarray(ref, jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - ref))) \
+        < 0.1 * scale + 0.05
+    agree = float((jnp.argmax(got, -1) == jnp.argmax(ref, -1)).mean())
+    assert agree >= 0.9, agree
+    # the NV and XLA-dot substrates stay mutually close where both run
+    assert float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32)
+                                 - jnp.asarray(dot, jnp.float32)))) \
+        < 0.1 * scale + 0.05

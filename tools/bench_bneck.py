@@ -30,6 +30,10 @@ from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
     flat_geometry,
     quantize_pad_flat,
 )
+from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
+    bneck_block_nv,
+    quantize_to_nv,
+)
 
 
 def _readback(x):
@@ -133,10 +137,30 @@ def main():
         td = timeit(functools.partial(make_q, impl="dots9"), (q_in,),
                     inner=inner)
 
+        # ---- NV-layout chain (ops/pallas/bneck_nv.py) ----
+        def make_nv(k, impl):
+            def f(q):
+                for _ in range(k):
+                    q = bneck_block_nv(q, w1q, w2q, w3q, p1, q1, p2, q2,
+                                       p3, q3, 1.0, w=w, out_int8=True,
+                                       conv2_impl=impl)
+                return q
+            return f
+
+        tnv = tnv9 = float("inf")
+        if b & (b - 1) == 0:
+            q_nv = quantize_to_nv(x.astype(jnp.float32), 0.02)
+            tnv = timeit(functools.partial(make_nv, impl="grouped3"),
+                         (q_nv,), inner=inner)
+            tnv9 = timeit(functools.partial(make_nv, impl="dots9"),
+                          (q_nv,), inner=inner)
+
         print(f"{name:10s} h={h:2d} cin={cin:4d} w={wdt:4d} "
               f"bf16 {tf*1e3:7.3f} ms ({gflop/tf/1e3:6.1f} T/s)  "
               f"grouped3 {tg*1e3:7.3f} ms ({tf/tg:5.2f}x)  "
-              f"dots9 {td*1e3:7.3f} ms ({tf/td:5.2f}x)", flush=True)
+              f"dots9 {td*1e3:7.3f} ms ({tf/td:5.2f}x)  "
+              f"nv-g3 {tnv*1e3:7.3f} ms ({tf/tnv:5.2f}x)  "
+              f"nv-d9 {tnv9*1e3:7.3f} ms ({tf/tnv9:5.2f}x)", flush=True)
 
 
 
@@ -193,17 +217,24 @@ def e2e():
         f_fused = inf_fused.serve_args_fn(scales)
         f_dot = Int8Inference(model, params, state,
                               fused_bneck=False).serve_args_fn(scales)
+        # NV trunk calibrates on its own float walk: its observers also
+        # cover transition blocks (conv1/2/3), which the flat walk leaves
+        # to block.apply
+        inf_nv = Int8Inference(model, params, state, fused_bneck="nv")
+        f_nv = inf_nv.serve_args_fn(calibrate(inf_nv, [x]))
 
         res = {}
         for label, fn in [("float", ffloat), ("int8-dot", f_dot),
-                          ("int8-fused", f_fused)]:
+                          ("int8-fused", f_fused), ("int8-nv", f_nv)]:
             res[label] = rate(fn)
         print(f"{name:10s} float {res['float']*1e3:7.2f} ms/batch "
               f"({b/res['float']:,.0f} img/s)  "
               f"int8-dot {res['int8-dot']*1e3:7.2f} "
               f"({res['float']/res['int8-dot']:4.2f}x)  "
               f"int8-fused {res['int8-fused']*1e3:7.2f} "
-              f"({res['float']/res['int8-fused']:4.2f}x)", flush=True)
+              f"({res['float']/res['int8-fused']:4.2f}x)  "
+              f"int8-nv {res['int8-nv']*1e3:7.2f} "
+              f"({res['float']/res['int8-nv']:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
