@@ -128,14 +128,16 @@ def main():
                 for _ in range(k):
                     q = bneck_block_int8(q, w1q, w2q, w3q, p1, q1, p2, q2,
                                          p3, q3, 1.0, h=h, w=w,
-                                         emit_int8=True, conv2_impl=impl)
+                                         conv2_impl=impl)
                 return q
             return f
 
-        tg = timeit(functools.partial(make_q, impl="grouped3"), (q_in,),
-                    inner=inner)
-        td = timeit(functools.partial(make_q, impl="dots9"), (q_in,),
-                    inner=inner)
+        tg = td = float("inf")
+        if not os.environ.get("BENCH_SKIP_FLAT"):
+            tg = timeit(functools.partial(make_q, impl="grouped3"), (q_in,),
+                        inner=inner)
+            td = timeit(functools.partial(make_q, impl="dots9"), (q_in,),
+                        inner=inner)
 
         # ---- NV-layout chain (ops/pallas/bneck_nv.py) ----
         def make_nv(k, impl):
@@ -188,6 +190,15 @@ def e2e():
         "wrn-50-2": ("c3,64,7,2,3 n a mp3,2,1 b3,256,128,1 b4,512,256,2 "
                      "b6,1024,512,2 b3,2048,1024,2 ap7,1,0 fc2048,1000"),
     }
+    # Compile-budget knobs for the tunneled host (fresh cache = ~2-5 min
+    # per full-model compile): BENCH_MODELS / BENCH_VARIANTS are
+    # comma-separated subsets.
+    want_models = os.environ.get("BENCH_MODELS")
+    if want_models:
+        keep = set(want_models.split(","))
+        specs = {k: v for k, v in specs.items() if k in keep}
+    want_var = set(os.environ.get(
+        "BENCH_VARIANTS", "float,int8-dot,int8-fused,int8-nv").split(","))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (b, 224, 224, 3)), jnp.float32)
 
@@ -212,29 +223,35 @@ def e2e():
         jf = jax.jit(lambda p, s, xx, _m=model: _m.apply(
             p, s, xx, train=False)[0])
         ffloat = lambda xx: jf(params, state, xx)
-        inf_fused = Int8Inference(model, params, state, fused_bneck=True)
-        scales = calibrate(inf_fused, [x])
-        f_fused = inf_fused.serve_args_fn(scales)
-        f_dot = Int8Inference(model, params, state,
-                              fused_bneck=False).serve_args_fn(scales)
-        # NV trunk calibrates on its own float walk: its observers also
-        # cover transition blocks (conv1/2/3), which the flat walk leaves
-        # to block.apply
-        inf_nv = Int8Inference(model, params, state, fused_bneck="nv")
-        f_nv = inf_nv.serve_args_fn(calibrate(inf_nv, [x]))
+        variants = [("float", lambda: ffloat)]
+        if "int8-fused" in want_var or "int8-dot" in want_var:
+            inf_fused = Int8Inference(model, params, state, fused_bneck=True)
+            scales = calibrate(inf_fused, [x])
+            if "int8-fused" in want_var:
+                variants.append(
+                    ("int8-fused", lambda: inf_fused.serve_args_fn(scales)))
+            if "int8-dot" in want_var:
+                variants.append(
+                    ("int8-dot", lambda: Int8Inference(
+                        model, params, state,
+                        fused_bneck=False).serve_args_fn(scales)))
+        if "int8-nv" in want_var:
+            # NV trunk calibrates on its own float walk: its observers
+            # also cover transition blocks (conv1/2/3), which the flat
+            # walk leaves to block.apply
+            inf_nv = Int8Inference(model, params, state, fused_bneck="nv")
+            variants.append(
+                ("int8-nv",
+                 lambda: inf_nv.serve_args_fn(calibrate(inf_nv, [x]))))
 
         res = {}
-        for label, fn in [("float", ffloat), ("int8-dot", f_dot),
-                          ("int8-fused", f_fused), ("int8-nv", f_nv)]:
-            res[label] = rate(fn)
-        print(f"{name:10s} float {res['float']*1e3:7.2f} ms/batch "
-              f"({b/res['float']:,.0f} img/s)  "
-              f"int8-dot {res['int8-dot']*1e3:7.2f} "
-              f"({res['float']/res['int8-dot']:4.2f}x)  "
-              f"int8-fused {res['int8-fused']*1e3:7.2f} "
-              f"({res['float']/res['int8-fused']:4.2f}x)  "
-              f"int8-nv {res['int8-nv']*1e3:7.2f} "
-              f"({res['float']/res['int8-nv']:4.2f}x)", flush=True)
+        for label, mk in variants:
+            res[label] = rate(mk())
+            line = (f"{name:10s} {label:10s} {res[label]*1e3:7.2f} ms/batch"
+                    f" ({b/res[label]:,.0f} img/s)")
+            if label != "float":
+                line += f"  ({res['float']/res[label]:4.2f}x vs float)"
+            print(line, flush=True)
 
 
 if __name__ == "__main__":
