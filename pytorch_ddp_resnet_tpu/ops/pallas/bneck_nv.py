@@ -101,14 +101,31 @@ def quantize_to_nv(x_nhwc: jax.Array, scale: float) -> jax.Array:
     return to_nv(q)
 
 
-def _pick_chunk(h: int, wp: int, n: int, cin: int,
-                budget: int = 8 * 1024 * 1024) -> int:
-    """Largest R dividing h whose main input block fits the budget."""
+def _pick_chunk(oh: int, wp_in: int, n: int, cin: int, wdt: int,
+                cout: int, wp_out: int, stride: int = 1,
+                out_int8: bool = True,
+                budget: int = 88 * 1024 * 1024) -> int:
+    """Largest output-row chunk R dividing oh that fits VMEM.
+
+    The per-output-row cost model is calibrated against a real Mosaic
+    OOM report (R50 stage-1 entry transition, 14 rows -> 247.1 MB used
+    = 17.8 MB/row: 4 MB 2-level output window + 2 MB input window +
+    11.4 MB of i32 register-spill slots — exactly the conv1/conv2/conv3
+    s32 accumulators). Budgeting only the input block, as this function
+    originally did, under-counts by ~10x when cout >> cin and the
+    compiler spills the accumulators to scoped VMEM."""
+    wp2 = wp_in // stride
+    row = n * (2 * stride * wp_in * cin        # 2-level input window
+               + stride * wp_in * wdt * 5      # conv1 s32 acc + s8 slab
+               + wp2 * wdt * 4                 # conv2 s32 acc
+               + wp2 * cout * 4                # conv3/proj s32 acc
+               + wp_out * cout * 2 * (1 if out_int8 else 2))  # out window
+    fixed = cin * wdt + 9 * wdt * wdt + wdt * cout + cin * cout  # weights
     best = None
-    for r in range(1, h + 1):
-        if h % r:
+    for r in range(1, oh + 1):
+        if oh % r:
             continue
-        if r * wp * n * cin <= budget or best is None:
+        if r * row + fixed <= budget or best is None:
             best = r
     return best
 
@@ -228,7 +245,8 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     cout = w3q.shape[1]
     if cout != cin:
         raise ValueError("identity-shortcut block needs Cout == Cin")
-    rch = chunk_rows or _pick_chunk(h, wp, n, cin)
+    rch = chunk_rows or _pick_chunk(h, wp, n, cin, wdt, cout, wp,
+                                    out_int8=out_int8)
     if h % rch:
         raise ValueError(f"chunk_rows={rch} must divide h={h}")
     nsteps = h // rch
@@ -481,7 +499,8 @@ def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     oh, ow = h // stride, w // stride
     wp2 = wp_in // stride
     wp_out = max(wp2, nv_geometry(oh, ow))
-    rch = chunk_rows or _pick_chunk(oh, stride * wp_in, n, cin)
+    rch = chunk_rows or _pick_chunk(oh, wp_in, n, cin, wdt, cout, wp_out,
+                                    stride=stride, out_int8=out_int8)
     if oh % rch:
         raise ValueError(f"chunk_rows={rch} must divide oh={oh}")
     nsteps = oh // rch

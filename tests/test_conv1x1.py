@@ -122,9 +122,11 @@ def test_bneck_float_walk_matches_model_apply(preact):
     got, stats = jax.jit(inf.calibrate_fn())(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-2)
-    # observers at the two 1x1s of both blocks (the mid 3x3 stays bf16)
+    # observers at all three convs of both blocks: the XLA-dot path
+    # only consumes the 1x1 scales, but the fused/NV kernels quantize
+    # conv2 too, and one calibration walk serves every substrate
     assert sorted(stats) == [
-        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 3)]
+        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 2, 3)]
 
 
 @pytest.mark.parametrize("preact", [True, False])
@@ -134,7 +136,7 @@ def test_bneck_int8_serving_close_to_float(preact):
     ref, _ = model.apply(params, state, x, train=False)
     inf = Int8Inference(model, params, state)
     scales = calibrate(inf, [x])
-    assert len(scales) == 4
+    assert len(scales) == 6
     ql = jax.jit(inf.serve_fn(scales))(x)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(ql - ref))) < 0.1 * scale + 0.05
@@ -154,7 +156,8 @@ def test_bneck_transition_falls_back_float():
     inf = Int8Inference(model, params, state)
     got, stats = jax.jit(inf.calibrate_fn())(x)
     # only block1 (identity) is quantized; block0 transforms the shortcut
-    assert sorted(stats) == [f"01_stack/block1/conv{c}" for c in (1, 3)]
+    # (its observers only ride the NV-trunk walk, fused_bneck='nv')
+    assert sorted(stats) == [f"01_stack/block1/conv{c}" for c in (1, 2, 3)]
     scales = calibrate(inf, [x])
     ql = jax.jit(inf.serve_fn(scales))(x)
     scale = float(jnp.max(jnp.abs(ref)))
@@ -176,7 +179,7 @@ def test_bneck_imagenet_geometry(preact):
     inf = Int8Inference(model, params, state)
     _, stats = jax.jit(inf.calibrate_fn())(x)
     assert sorted(stats) == [
-        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 3)]
+        f"01_stack/block{b}/conv{c}" for b in (0, 1) for c in (1, 2, 3)]
     scales = calibrate(inf, [x])
     ql = jax.jit(inf.serve_fn(scales))(x)
     scale = float(jnp.max(jnp.abs(ref)))
