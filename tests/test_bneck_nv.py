@@ -246,3 +246,39 @@ def test_transition_matches_float_block():
     got = np.asarray(from_nv(got_nv, w // 2), np.float32)
     scale = max(1e-6, float(np.abs(ref).max()))
     assert float(np.abs(got - ref).max()) < 0.06 * scale
+
+
+def test_pick_chunk_vmem_model():
+    """The chunk picker must budget the s32 accumulators and the 2-level
+    output window, not just the input block: the R50 stage-1 entry
+    transition (cin 64 -> cout 256, 56x56, N=128) OOM'd on the real chip
+    at 14 output rows (247MB used of 128MB VMEM, Mosaic report) when only
+    the input was counted. Pin every R50/WRN-50-2 @224 b128 geometry to
+    the calibrated model's budget."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
+        _pick_chunk, nv_geometry)
+    n = 128
+    budget = 88 * 1024 * 1024
+    cases = [  # (h, w, cin, wdt, cout, stride) across both trunks
+        (56, 56, 64, 64, 256, 1), (56, 56, 256, 64, 256, 1),
+        (56, 56, 256, 128, 512, 2), (28, 28, 512, 128, 512, 1),
+        (28, 28, 512, 256, 1024, 2), (14, 14, 1024, 256, 1024, 1),
+        (14, 14, 1024, 512, 2048, 2), (7, 7, 2048, 512, 2048, 1),
+        (56, 56, 64, 128, 256, 1), (56, 56, 256, 128, 256, 1),
+        (56, 56, 256, 256, 512, 2), (28, 28, 512, 256, 512, 1),
+        (28, 28, 512, 512, 1024, 2), (14, 14, 1024, 512, 1024, 1),
+        (14, 14, 1024, 1024, 2048, 2), (7, 7, 2048, 1024, 2048, 1),
+    ]
+    for h, w, cin, wdt, cout, s in cases:
+        wp_in = nv_geometry(h, w)
+        oh, ow = h // s, w // s
+        wp_out = max(wp_in // s, nv_geometry(oh, ow))
+        r = _pick_chunk(oh, wp_in, n, cin, wdt, cout, wp_out, stride=s)
+        assert oh % r == 0
+        wp2 = wp_in // s
+        row = n * (2 * s * wp_in * cin + s * wp_in * wdt * 5
+                   + wp2 * wdt * 4 + wp2 * cout * 4 + wp_out * cout * 2)
+        fixed = cin * wdt + 9 * wdt * wdt + wdt * cout + cin * cout
+        assert r * row + fixed <= budget, (h, w, cin, wdt, cout, s, r)
+    # the exact OOM geometry: 14 rows must never come back
+    assert _pick_chunk(56, 64, 128, 64, 64, 256, 64, stride=1) < 14
