@@ -86,7 +86,12 @@ def main():
     print(f"devices: {jax.devices()}  batch={b}", flush=True)
     rng = np.random.default_rng(0)
 
-    for name, h, w, cin, wdt in STAGES:
+    stages = STAGES
+    want = os.environ.get("BENCH_STAGES")  # comma-separated stage names
+    if want:
+        keep = set(want.split(","))
+        stages = [s for s in STAGES if s[0] in keep]
+    for name, h, w, cin, wdt in stages:
         rows, stride, m = flat_geometry(h, w)
         gflop = 2 * b * h * w * (cin * wdt + 9 * wdt * wdt + wdt * cin) / 1e9
 
