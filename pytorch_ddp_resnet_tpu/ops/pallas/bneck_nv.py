@@ -118,15 +118,29 @@ def _pick_chunk(oh: int, wp_in: int, n: int, cin: int, wdt: int,
     row = n * (2 * stride * wp_in * cin        # 2-level input window
                + stride * wp_in * wdt * 5      # conv1 s32 acc + s8 slab
                + wp2 * wdt * 4                 # conv2 s32 acc
-               + wp2 * cout * 4                # conv3/proj s32 acc
+               # conv3/proj s32 acc: the transition kernel nominally has
+               # BOTH a conv3 and a projection accumulator of this size,
+               # but the calibration report (17.8 vs 17.65 MB/row on the
+               # R50 stage-1 entry transition) shows the compiler reuses
+               # the slot — one term, backed by the 88-vs-100MB slack and
+               # the pinned-geometry checks below. Revisit if a large-cout
+               # transition outside the pinned set OOMs.
+               + wp2 * cout * 4
                + wp_out * cout * 2 * (1 if out_int8 else 2))  # out window
     fixed = cin * wdt + 9 * wdt * wdt + wdt * cout + cin * cout  # weights
     best = None
     for r in range(1, oh + 1):
         if oh % r:
             continue
-        if r * row + fixed <= budget or best is None:
+        if r * row + fixed <= budget:
             best = r
+    if best is None:
+        raise ValueError(
+            f"NV geometry does not fit the VMEM budget even at 1-row "
+            f"chunks: est {(row + fixed) / 2**20:.1f} MB/row vs "
+            f"{budget / 2**20:.0f} MB (oh={oh} wp_in={wp_in} n={n} "
+            f"cin={cin} wdt={wdt} cout={cout} stride={stride}); shrink "
+            f"the batch or image plane, or raise `budget`")
     return best
 
 

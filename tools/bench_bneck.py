@@ -155,19 +155,22 @@ def main():
             return f
 
         tnv = tnv9 = float("inf")
-        if b & (b - 1) == 0:
+        if b >= 32 and b & (b - 1) == 0:  # bneck_block_nv: N pow2 mult of 32
             q_nv = quantize_to_nv(x.astype(jnp.float32), 0.02)
             tnv = timeit(functools.partial(make_nv, impl="grouped3"),
                          (q_nv,), inner=inner)
             tnv9 = timeit(functools.partial(make_nv, impl="dots9"),
                           (q_nv,), inner=inner)
 
+        def col(label, t):
+            if t == float("inf"):
+                return f"{label} skipped"
+            return f"{label} {t*1e3:7.3f} ms ({tf/t:5.2f}x)"
+
         print(f"{name:10s} h={h:2d} cin={cin:4d} w={wdt:4d} "
               f"bf16 {tf*1e3:7.3f} ms ({gflop/tf/1e3:6.1f} T/s)  "
-              f"grouped3 {tg*1e3:7.3f} ms ({tf/tg:5.2f}x)  "
-              f"dots9 {td*1e3:7.3f} ms ({tf/td:5.2f}x)  "
-              f"nv-g3 {tnv*1e3:7.3f} ms ({tf/tnv:5.2f}x)  "
-              f"nv-d9 {tnv9*1e3:7.3f} ms ({tf/tnv9:5.2f}x)", flush=True)
+              f"{col('grouped3', tg)}  {col('dots9', td)}  "
+              f"{col('nv-g3', tnv)}  {col('nv-d9', tnv9)}", flush=True)
 
 
 
