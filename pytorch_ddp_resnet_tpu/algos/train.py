@@ -162,6 +162,9 @@ def setup(config, mesh=None, verbose: bool = True) -> Dict[str, Any]:
                 num_workers=config.get("data_workers", 8),
                 shuffle_seed=config.get("shuffle_seed", 0),
                 fit_sample_limit=config.get("fit_sample_limit", 65536),
+                # DCT-domain scaled JPEG decode (opt-in; pixel-altering —
+                # ACCURACY.md streaming gate rule)
+                dct_scale=config.get("dct_decode_scale", False),
                 verbose=verbose))
 
     compute_dtype = _DTYPES[config.get("compute_dtype", "bfloat16")]

@@ -148,12 +148,20 @@ class HostSampleProcessor:
     """Per-sample uint8 host path: decode -> (scale...) -> crop."""
 
     def __init__(self, host_transforms: Sequence[Transform],
-                 crop_size: Optional[int], random_crop: bool, seed: int = 0):
+                 crop_size: Optional[int], random_crop: bool, seed: int = 0,
+                 dct_scale: bool = False):
         self.scale_targets = [t._target for t in host_transforms
                               if isinstance(t, RandomScaleTransform)]
         self.crop_size = crop_size
         self.random_crop = random_crop
         self.seed = seed
+        # DCT-domain downscale (native path only): decode big JPEGs at the
+        # smallest M/8 IDCT scale whose short side still covers the first
+        # resize target; the exact bilinear then runs on ~(M/8)^2 of the
+        # pixels. Alters delivered pixels (high frequencies above the
+        # target Nyquist) — accuracy-gated per ACCURACY.md's streaming
+        # gate rule before any default flip.
+        self.dct_scale = dct_scale
 
     def _decode_and_scale(self, path: str) -> np.ndarray:
         fi = _native()
@@ -161,9 +169,11 @@ class HostSampleProcessor:
             # fused native call: decode + every short-side resize under one
             # GIL release, so decode workers scale across cores
             try:
+                min_short = (self.scale_targets[0]
+                             if self.dct_scale and self.scale_targets else 0)
                 with open(path, "rb") as f:
                     pix, h, w = fi.decode_resize_jpeg(
-                        f.read(), tuple(self.scale_targets))
+                        f.read(), tuple(self.scale_targets), min_short)
                 return np.frombuffer(pix, np.uint8).reshape(h, w, 3)
             except ValueError:
                 # exotic color space: go straight to PIL — _decode_image
@@ -212,6 +222,7 @@ class StreamingPipeline:
         num_workers: int = 8,
         prefetch_depth: int = 2,
         shuffle_seed: int = 0,
+        dct_scale: bool = False,
     ):
         if batch_size % num_microbatches != 0:
             raise ValueError("batch_size must divide by num_microbatches.")
@@ -231,10 +242,12 @@ class StreamingPipeline:
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._proc_train = HostSampleProcessor(
             host_transforms_train, crop_size=crop_size,
-            random_crop=random_crop_train, seed=shuffle_seed)
+            random_crop=random_crop_train, seed=shuffle_seed,
+            dct_scale=dct_scale)
         self._proc_test = HostSampleProcessor(
             host_transforms_test, crop_size=crop_size,
-            random_crop=random_crop_test, seed=shuffle_seed)
+            random_crop=random_crop_test, seed=shuffle_seed,
+            dct_scale=dct_scale)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -426,6 +439,7 @@ def build_streaming_data(
     num_workers: int = 8,
     shuffle_seed: int = 0,
     fit_sample_limit: int = 65536,
+    dct_scale: bool = False,
     verbose: bool = False,
 ):
     """Construct the streaming pipeline + fitted device transform functions
@@ -488,7 +502,7 @@ def build_streaming_data(
         random_crop_train=is_random(host_train),
         random_crop_test=is_random(host_test),
         num_microbatches=num_microbatches, num_workers=num_workers,
-        shuffle_seed=shuffle_seed)
+        shuffle_seed=shuffle_seed, dct_scale=dct_scale)
 
     # fit device-side fittables on a host-processed sample
     fit_x = None

@@ -80,7 +80,8 @@ struct JpegDecompressGuard {
 // Python caller falls back to PIL. Runs without the GIL.
 bool decode_jpeg_impl(const unsigned char* data, size_t len,
                       std::vector<unsigned char>* out,
-                      int* out_h, int* out_w, char* msg) {
+                      int* out_h, int* out_w, char* msg,
+                      int min_short = 0) {
     JpegDecompressGuard guard;
     jpeg_decompress_struct& cinfo = guard.cinfo;
     JpegErr err;
@@ -96,6 +97,41 @@ bool decode_jpeg_impl(const unsigned char* data, size_t len,
                  static_cast<unsigned long>(len));
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;  // YCbCr + grayscale convert natively
+    if (min_short > 0) {
+        // DCT-domain downscale: decode at the smallest M/8 scale whose
+        // output short side still covers min_short (the pipeline's first
+        // short-side resize target), so the exact bilinear afterwards runs
+        // on far fewer pixels. The scaled IDCT is a real decode of the
+        // same coefficients at lower resolution (the practice of
+        // torchvision/accimage/DALI ImageNet loaders); the frequencies it
+        // drops are above the target Nyquist, i.e. content the bilinear
+        // would have discarded. We probe jpeg_calc_output_dimensions
+        // rather than assuming turbo's M/8 support: classic libjpeg
+        // quantizes the ratio to 1/2^k and the probe reads whatever the
+        // library will actually produce.
+        //
+        // The decompression-bomb cap must cover the ORIGINAL dims here
+        // (the output-dims check below would pass for a huge source
+        // decoded at 1/8 while the IDCT still walks every input MCU).
+        if (static_cast<long long>(cinfo.image_height) *
+                cinfo.image_width > MAX_PIXELS) {
+            snprintf(msg, JMSG_LENGTH_MAX,
+                     "image %ux%u exceeds the decompression-bomb pixel cap",
+                     cinfo.image_height, cinfo.image_width);
+            return false;
+        }
+        for (unsigned int m = 1; m <= 8; m++) {
+            cinfo.scale_num = m;
+            cinfo.scale_denom = 8;
+            jpeg_calc_output_dimensions(&cinfo);
+            const JDIMENSION s = cinfo.output_width < cinfo.output_height
+                                     ? cinfo.output_width
+                                     : cinfo.output_height;
+            if (static_cast<long>(s) >= min_short) break;
+        }
+        // loop fall-through leaves 8/8 = a full decode (source smaller
+        // than the target; the Python side upscales afterwards)
+    }
     jpeg_start_decompress(&cinfo);
 
     const int h = static_cast<int>(cinfo.output_height);
@@ -435,7 +471,16 @@ PyObject* py_resize_bilinear(PyObject*, PyObject* args) {
 PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
     Py_buffer buf;
     PyObject* targets_obj;
-    if (!PyArg_ParseTuple(args, "y*O", &buf, &targets_obj)) return nullptr;
+    int min_short = 0;  // >0: DCT-domain scaled decode (see decode_jpeg_impl)
+    if (!PyArg_ParseTuple(args, "y*O|i", &buf, &targets_obj, &min_short))
+        return nullptr;
+    if (min_short < 0 || min_short > 65535) {
+        PyBuffer_Release(&buf);
+        PyErr_Format(PyExc_ValueError,
+                     "dct min_short must be in [0, 65535], got %d",
+                     min_short);
+        return nullptr;
+    }
     std::vector<int> targets;
     PyObject* seq = PySequence_Fast(targets_obj, "targets must be a sequence");
     if (!seq) {
@@ -470,7 +515,7 @@ PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
     try {
         ok = decode_jpeg_impl(static_cast<const unsigned char*>(buf.buf),
                               static_cast<size_t>(buf.len), &img, &h, &w,
-                              msg);
+                              msg, min_short);
         if (ok) {
             for (int t : targets) {
                 int nh, nw;
@@ -505,7 +550,7 @@ PyObject* py_decode_resize_jpeg(PyObject*, PyObject* args) {
 }
 
 PyObject* py_version(PyObject*, PyObject*) {
-    return PyUnicode_FromFormat("fastimage 1.0 (libjpeg %d)", JPEG_LIB_VERSION);
+    return PyUnicode_FromFormat("fastimage 1.1 (libjpeg %d)", JPEG_LIB_VERSION);
 }
 
 PyMethodDef methods[] = {
@@ -516,7 +561,9 @@ PyMethodDef methods[] = {
     {"resize_bilinear", py_resize_bilinear, METH_VARARGS,
      "resize_bilinear(rgb_bytes, h, w, nh, nw) -> rgb_bytes"},
     {"decode_resize_jpeg", py_decode_resize_jpeg, METH_VARARGS,
-     "decode_resize_jpeg(data, short_side_targets) -> (rgb_bytes, h, w)"},
+     "decode_resize_jpeg(data, short_side_targets[, dct_min_short])"
+     " -> (rgb_bytes, h, w); dct_min_short > 0 decodes at the smallest"
+     " M/8 DCT scale keeping the short side >= dct_min_short"},
     {"version", py_version, METH_NOARGS, "build/runtime version string"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -205,3 +205,67 @@ def test_decode_resize_rejects_bad_targets():
     for bad in (0, -3, 100000):
         with pytest.raises(ValueError):
             fi.decode_resize_jpeg(buf.getvalue(), (bad,))
+
+
+def _smooth_image(rng, h, w):
+    """Natural-image-like content: coarse field upsampled (low-frequency),
+    so the DCT-scaled decode should track the full decode closely."""
+    coarse = rng.normal(128, 40, size=(h // 16 + 1, w // 16 + 1, 3))
+    field = np.kron(coarse, np.ones((16, 16, 1)))[:h, :w, :]
+    return np.clip(field, 0, 255).astype(np.uint8)
+
+
+def test_dct_scale_decode_contract():
+    """decode_resize_jpeg's optional dct_min_short: same output dims as the
+    full-decode path, min_short=0 bit-identical to the 2-arg form, and a
+    smaller-than-target source falls through to a full decode."""
+    rng = np.random.default_rng(11)
+    arr = _smooth_image(rng, 500, 400)
+    data = _jpeg_bytes(arr, quality=90)
+
+    ref, h0, w0 = fi.decode_resize_jpeg(data, (256,))
+    z, hz, wz = fi.decode_resize_jpeg(data, (256,), 0)
+    assert (hz, wz) == (h0, w0) and z == ref  # 0 = feature off, exact path
+
+    out, h1, w1 = fi.decode_resize_jpeg(data, (256,), 256)
+    assert (h1, w1) == (h0, w0)  # resize contract unchanged
+    a = np.frombuffer(ref, np.uint8).astype(np.int32)
+    b = np.frombuffer(out, np.uint8).astype(np.int32)
+    # smooth content: the scaled IDCT only drops above-Nyquist energy
+    assert np.abs(a - b).mean() < 4.0
+
+    # source short side (400) < target (600): scaled path must be the
+    # identical full decode
+    full, hf, wf = fi.decode_resize_jpeg(data, (600,), 600)
+    plain, hp, wp_ = fi.decode_resize_jpeg(data, (600,))
+    assert (hf, wf) == (hp, wp_) and full == plain
+
+
+def test_dct_scale_rejects_bad_min_short():
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr)
+    for bad in (-1, 70000):
+        with pytest.raises(ValueError):
+            fi.decode_resize_jpeg(data, (16,), bad)
+
+
+def test_dct_scale_streaming_processor(tmp_path):
+    """HostSampleProcessor(dct_scale=True) delivers the same shapes and
+    near-identical pixels as the exact path on smooth content."""
+    from pytorch_ddp_resnet_tpu.data.streaming import HostSampleProcessor
+    from pytorch_ddp_resnet_tpu.data.transforms import (
+        RandomScaleTransform,
+    )
+
+    rng = np.random.default_rng(13)
+    p = tmp_path / "img.jpeg"
+    Image.fromarray(_smooth_image(rng, 480, 360)).save(p, quality=90)
+    scale = RandomScaleTransform((None, None, 3), target_short_side=64)
+    exact = HostSampleProcessor([scale], crop_size=56, random_crop=False)
+    fast = HostSampleProcessor([scale], crop_size=56, random_crop=False,
+                               dct_scale=True)
+    a = exact(str(p), 0, 0)
+    b = fast(str(p), 0, 0)
+    assert a.shape == b.shape == (56, 56, 3)
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).mean() < 4.0
