@@ -47,13 +47,25 @@ class Predictor:
 
         def fwd(x):
             # params/state are closure constants: XLA constant-folds the
-            # (neutralized) BN affines and specializes the whole program
+            # (neutralized) BN affines and specializes the whole program.
+            # Used for export (local lowering — no compile-size limit).
             xp = preprocess_fn(x) if preprocess_fn else x
             logits, _ = model.apply(params, model_state, xp, train=False)
             return logits
 
         self._fwd_fn = fwd
-        self._fwd = jax.jit(fwd)
+
+        # The SERVING jit passes the weights as device-buffer ARGUMENTS:
+        # closure-jitting an ImageNet-scale program exceeds the tunnel's
+        # compile-request size (HTTP 413 at WRN-50-2 @224 — 68.9M params
+        # of program text; see models/quantize.py serve_args_fn).
+        def fwd_args(p, st, x):
+            xp = preprocess_fn(x) if preprocess_fn else x
+            logits, _ = model.apply(p, st, xp, train=False)
+            return logits
+
+        fwd_jit = jax.jit(fwd_args)
+        self._fwd = lambda x: fwd_jit(self._params, self._state, x)
 
     def quantize_int8(self, calib_images: np.ndarray,
                       fused_bneck=False) -> int:
@@ -92,14 +104,17 @@ class Predictor:
                 "int8 quantization: no eligible convs in this model "
                 "(needs basic residual blocks with identity shortcuts and "
                 "channel counts divisible by 32).")
-        serve = inf.serve_fn(scales)
+        # serve_args_fn (weights as device-buffer ARGUMENTS): closure-jitting
+        # an ImageNet-scale program exceeds the tunnel's compile-request
+        # size (HTTP 413 at ResNet-50 @224; quantize.py serve_fn docstring).
+        # It is already jitted — the preprocess rides a separate small jit.
+        serve = inf.serve_args_fn(scales)
 
         def fwd(x):
-            xp = pre(x) if pre else x
-            return serve(xp)
+            return serve(pre_jit(x) if pre else x)
 
         self._fwd_fn = fwd
-        self._fwd = jax.jit(fwd)
+        self._fwd = fwd
         self.n_quantized = len(scales)
         return len(scales)
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,35 @@ def _fold_bn_batch_and_ema(bn, p, st, mean, var, n):
     return scale, shift, new_st
 
 
+class NVLane(NamedTuple):
+    """Open NV-trunk run state (Sequential's lane protocol payload for
+    int8 bottleneck TRAINING, ops/pallas/bneck_nv_train.py).
+
+    ``x``: the current block input — the materialized residual carrier,
+    [h, wp, N, C] bf16 with masked borders. ``acc3``/``s3``/``t3``: the
+    PREVIOUS block's raw conv3 accumulator and folded BN3 affine, whose
+    epilogue (affine + residual add + relu) has not been applied yet —
+    the next block's entry-mode conv1 prologue consumes it in VMEM, or
+    ``materialize`` applies it in XLA when the run closes. None at a run
+    start. NamedTuple so jax.checkpoint/pytree plumbing is free.
+    """
+
+    x: Any
+    acc3: Any = None
+    s3: Any = None
+    t3: Any = None
+
+    def materialize(self, w_img: int):
+        """Close the run: apply the pending epilogue, return NHWC."""
+        from pytorch_ddp_resnet_tpu.ops.pallas.nv_common import from_nv
+
+        if self.acc3 is None:
+            return from_nv(self.x, w_img)
+        y = self.acc3.astype(jnp.float32) * self.s3 + self.t3
+        out = jnp.maximum(y + self.x.astype(jnp.float32), 0.0)
+        return from_nv(out.astype(self.x.dtype), w_img)
+
+
 class _BlockBase(Layer):
     """Shared apply scaffolding for both block types.
 
@@ -103,6 +132,10 @@ class _BlockBase(Layer):
 
     def _forward(self, run, x, train):
         raise NotImplementedError
+
+    def _data_shards(self) -> int:
+        mesh = getattr(self, "shard_mesh", None)
+        return 1 if mesh is None else int(mesh.shape.get("data", 1))
 
     def apply(self, params, state, x, *, train, rng=None):
         if getattr(self, "remat", False):
@@ -332,10 +365,6 @@ class ResidualBlock(_BlockBase):
         except ValueError:
             return False
         return True
-
-    def _data_shards(self) -> int:
-        mesh = self.shard_mesh
-        return 1 if mesh is None else int(mesh.shape.get("data", 1))
 
     def _apply_impl(self, params, state, x, *, train, rng=None):
         if self._fused_eligible(x.shape, train):
@@ -798,10 +827,13 @@ class BottleneckResidualBlock(_BlockBase):
     width_override: Optional[int] = None
     stride_override: Optional[int] = None
     pallas_conv: bool = False
-    # Accepted for spec-builder uniformity; the fused block-half / int8
-    # training paths are implemented for the basic preact trunk (where
-    # the measured win is; bottlenecks are 1x1-dominated) — bottleneck
-    # blocks always take the layer-by-layer path.
+    # fused_block / inkernel_dropout / lane_transition are basic-trunk
+    # features, accepted for spec-builder uniformity. int8_train /
+    # int8_train_bwd ARE implemented for this block type since round 5:
+    # post-act identity-shortcut blocks at stride 1 run the NV-carrier
+    # int8 training path (ops/pallas/bneck_nv_train.py) through
+    # Sequential's lane protocol; transition blocks and all preact /
+    # dropout geometries take the layer-by-layer XLA path.
     fused_block: bool = False
     int8_train: bool = False
     int8_train_bwd: bool = False
@@ -906,3 +938,102 @@ class BottleneckResidualBlock(_BlockBase):
         if not self.preact:
             h = jnp.maximum(h, 0)
         return h
+
+    # --- NV-carrier int8 training path (Sequential lane protocol) -------
+
+    def lane_eligible(self, x_shape, train: bool) -> bool:
+        """True when this block runs the NV int8 TRAINING path
+        (ops/pallas/bneck_nv_train.py): post-act identity-shortcut
+        stride-1 blocks under `use_int8_train`, no dropout. Transition
+        blocks and eval mode stay on the XLA path; pod meshes fall back
+        too (the NV halves have no shard_map dispatch yet — GSPMD would
+        gather batch shards around the custom calls)."""
+        if not (self.int8_train and train and not self.preact):
+            return False
+        if self.transforms_shortcut or self.stride != 1:
+            return False
+        if self.dropout_prob != 0.0:
+            return False
+        if self.compute_dtype != jnp.bfloat16:
+            return False
+        if len(x_shape) != 4:
+            return False
+        b, h, w, c = x_shape
+        if c != self.in_channels:
+            return False
+        if self._data_shards() != 1:
+            return False
+        if b < 32 or b % 32 or b & (b - 1):
+            return False  # int8 sublane tile / pow2 W-border masks
+        if c % 8 or self.bottleneck_channels % 8:
+            return False
+        from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv_train import (
+            nv_train_fits,
+        )
+
+        # geometry must fit the VMEM budget at every half kernel (e.g.
+        # a wide entry dgrad can exceed VMEM even at 1-row chunks)
+        return nv_train_fits(h, w, b, c, self.bottleneck_channels,
+                             self.out_channels)
+
+    def lane_from_nhwc(self, x):
+        """Open an NV run from a materialized NHWC activation."""
+        from pytorch_ddp_resnet_tpu.ops.pallas.nv_common import to_nv
+
+        return NVLane(to_nv(x.astype(self.compute_dtype)))
+
+    def apply_lane(self, params, state, nv, x_shape, *, train, rng=None):
+        del rng  # no dropout on this path (gated in lane_eligible)
+        if self.remat:
+            def f(p, s, xx):
+                return self._forward_nv(p, s, xx, x_shape)
+
+            return jax.checkpoint(f)(params, state, nv)
+        return self._forward_nv(params, state, nv, x_shape)
+
+    def _forward_nv(self, params, state, nv, x_shape):
+        """One identity bottleneck block in the NV carrier: three int8
+        half ops + per-channel BatchNorm vector math. The previous
+        block's BN3 epilogue + residual + relu fold into conv1's entry
+        prologue; this block's own epilogue is LEFT PENDING in the
+        returned NVLane (models/blocks.py:889-908 semantics at the FQT
+        point; reference residual_block.py:102-215)."""
+        from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv_train import (
+            nv_half_1x1,
+            nv_half_3x3,
+        )
+
+        b, h, w, cin = x_shape
+        cb = self.bottleneck_channels
+        cout = self.out_channels
+        interpret = jax.default_backend() != "tpu"
+        kw = dict(w_img=w, quant=True, quant_bwd=self.int8_train_bwd,
+                  interpret=interpret)
+        w1 = params["conv1"]["w"].reshape(cin, cb)
+        w2 = params["conv2"]["w"]
+        w3 = params["conv3"]["w"].reshape(cb, cout)
+        cnt = b * h * w
+        bns = {name: layer for name, layer, _ in self._sublayers()
+               if name.startswith("norm")}
+        new_state = dict(state)
+
+        def bn_fold(name, zsum, zssq):
+            mean = zsum / cnt
+            var = zssq / cnt - jnp.square(mean)
+            s, t, st = _fold_bn_batch_and_ema(
+                bns[name], params[name], state[name], mean, var, cnt)
+            new_state[name] = st
+            return s, t
+
+        if nv.acc3 is None:
+            y1, z1s, z1q = nv_half_1x1(nv.x, w1, mode="identity", **kw)
+            x_mat = nv.x
+        else:
+            y1, z1s, z1q, x_mat = nv_half_1x1(
+                nv.acc3, w1, nv.s3, nv.t3, res=nv.x, mode="entry", **kw)
+        s1, t1 = bn_fold("norm1", z1s, z1q)
+        y2, z2s, z2q = nv_half_3x3(y1, w2, s1, t1, mode="affine", **kw)
+        s2, t2 = bn_fold("norm2", z2s, z2q)
+        y3, z3s, z3q = nv_half_1x1(y2, w3, s2, t2, mode="affine", **kw)
+        s3, t3 = bn_fold("norm3", z3s, z3q)
+        return NVLane(x_mat, y3, s3, t3), new_state

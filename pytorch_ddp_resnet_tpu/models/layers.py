@@ -403,9 +403,14 @@ class Dense(Layer):
 
 
 def _delane(lane):
-    """Lane layout ([C, B*H*W]) back to NHWC."""
-    x_cs, (b, h, w, c) = lane
-    return jnp.transpose(x_cs.reshape(c, b, h, w), (1, 2, 3, 0))
+    """Close an open lane run back to NHWC. The payload is either the
+    basic-block lane layout ([C, B*H*W]) or a carrier object exposing
+    ``materialize(w_img)`` (the bottleneck NV run state, blocks.py
+    NVLane — materializing applies the last block's pending epilogue)."""
+    payload, (b, h, w, c) = lane
+    if hasattr(payload, "materialize"):
+        return payload.materialize(w)
+    return jnp.transpose(payload.reshape(c, b, h, w), (1, 2, 3, 0))
 
 
 @dataclass(frozen=True)
@@ -466,10 +471,15 @@ class Sequential(Layer):
             if (hasattr(layer, "apply_lane") and shape is not None
                     and len(shape) == 4 and layer.lane_eligible(shape, train)):
                 if lane is None:
-                    b, h, w, c = shape
-                    x_cs = jnp.transpose(x.astype(layer.compute_dtype),
-                                         (3, 0, 1, 2)).reshape(c, b * h * w)
-                    lane = (x_cs, shape)
+                    if hasattr(layer, "lane_from_nhwc"):
+                        # layer-directed entry (the NV bottleneck carrier)
+                        lane = (layer.lane_from_nhwc(x), shape)
+                    else:
+                        b, h, w, c = shape
+                        x_cs = jnp.transpose(
+                            x.astype(layer.compute_dtype),
+                            (3, 0, 1, 2)).reshape(c, b * h * w)
+                        lane = (x_cs, shape)
                 x_cs, s = layer.apply_lane(
                     params.get(name, {}), state.get(name, {}), lane[0],
                     lane[1], train=train, rng=layer_rng)

@@ -40,6 +40,15 @@ def main():
                          "memory; needed for large batches)")
     ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--measure", type=int, default=16)
+    ap.add_argument("--int8", action="store_true",
+                    help="route identity bottleneck blocks through the NV "
+                         "int8 FQT training kernels "
+                         "(ops/pallas/bneck_nv_train.py)")
+    ap.add_argument("--qat", action="store_true",
+                    help="with --int8: exact straight-through backward "
+                         "(bf16 dgrad/wgrad) instead of FQT")
+    ap.add_argument("--model", default="resnet50",
+                    choices=["resnet50", "wrn50_2"])
     args = ap.parse_args()
 
     from pytorch_ddp_resnet_tpu.algos.steps import (
@@ -51,8 +60,13 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     mesh = make_mesh()
-    model = ResNet(SPEC, preact=False, use_proj=True, dropout_prob=0.0,
-                   compute_dtype=jnp.bfloat16, remat=args.remat)
+    spec = SPEC if args.model == "resnet50" else (
+        "c3,64,7,2,3 n a mp3,2,1 b3,256,128,1 b4,512,256,2 "
+        "b6,1024,512,2 b3,2048,1024,2 ap7,1,0 fc2048,1000")
+    model = ResNet(spec, preact=False, use_proj=True, dropout_prob=0.0,
+                   compute_dtype=jnp.bfloat16, remat=args.remat,
+                   int8_train=args.int8,
+                   int8_train_bwd=args.int8 and not args.qat)
     optimizer = get_optimizer("SGD", {
         "lr": 0.1, "momentum": 0.9, "nesterov": False,
         "weight_decay": 1e-4})  # the shipped r50 config's optimizer
