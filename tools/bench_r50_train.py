@@ -49,6 +49,10 @@ def main():
                          "(bf16 dgrad/wgrad) instead of FQT")
     ap.add_argument("--model", default="resnet50",
                     choices=["resnet50", "wrn50_2"])
+    ap.add_argument("--trace", action="store_true",
+                    help="profile one warm dispatch and print the per-op "
+                         "device-time aggregation (trace_step.py's "
+                         "xplane workflow)")
     args = ap.parse_args()
 
     from pytorch_ddp_resnet_tpu.algos.steps import (
@@ -121,6 +125,30 @@ def main():
         "value": round(img_s / mesh.size, 1), "unit": "images/sec/chip",
         "batch": args.batch, "remat": args.remat,
         "ms_per_step": round(dt / steps * 1e3, 2)}))
+
+    if args.trace:
+        import tempfile
+
+        from trace_step import aggregate_xplane
+        trace_dir = tempfile.mkdtemp(prefix="r50trace_")
+        jax.profiler.start_trace(trace_dir)
+        ts, metrics = chunk(ts, (feeds[0],), lrs, jnp.int32(999 * k))
+        float(metrics["loss"][-1])
+        jax.profiler.stop_trace()
+        per_op = aggregate_xplane(trace_dir, k)
+        short = {}
+        for name, ms in per_op.items():
+            if "%" in name:  # '%opname = ...' HLO lines -> short op name
+                name = name.split("%", 1)[1].split(" ", 1)[0]
+            if name.startswith("while"):
+                continue  # the chunk loop wrapper double-counts its body
+            key = name.rstrip("0123456789.")
+            short[key] = short.get(key, 0.0) + ms
+        print(f"trace dir: {trace_dir}; device op total "
+              f"{sum(short.values()):.2f} ms/step")
+        for name, ms in sorted(short.items(), key=lambda kv: -kv[1])[:40]:
+            if ms >= 0.05:
+                print(f"{ms:8.2f} ms  {name}")
 
 
 if __name__ == "__main__":
