@@ -68,7 +68,7 @@ class Predictor:
         self._fwd = lambda x: fwd_jit(self._params, self._state, x)
 
     def quantize_int8(self, calib_images: np.ndarray,
-                      fused_bneck=False) -> int:
+                      fused_bneck="nv") -> int:
         """Switch the serving forward to the w8a8 post-training-quantized
         path (models/quantize.py): eligible 3x3 convs run int8 x int8 on
         the MXU's 2x-rate mode via the lane-packed Pallas kernel.
@@ -77,12 +77,16 @@ class Predictor:
         e.g. a slice of the training set) used to calibrate per-conv
         activation scales through the float path. Calibration runs at the
         serving batch geometry, so scale placement and int8 eligibility
-        match the compiled program exactly. fused_bneck: route eligible
-        identity bottleneck blocks through the fused int8 block kernel
-        (ops/pallas/bneck.py) instead of XLA int8 dots — default OFF:
-        despite 1.6-2.7x stage-level wins it measured 0.79-0.93x
-        END-TO-END at b128 @224 (custom-call boundary relayouts; see
-        BASELINE.md "Fused bottleneck kernel, round 4").
+        match the compiled program exactly. fused_bneck: "nv" (the
+        DEFAULT since round 5) routes eligible bottleneck blocks
+        (identity AND transition) through the fused NV-layout int8
+        trunk (ops/pallas/bneck_nv.py); False selects plain XLA int8
+        dots. The default flip is accuracy-gated on trained post-act
+        checkpoints of both README ImageNet configs (tools/
+        eval_nv_gate.py: r50 1.051x / wrn-50-2 1.175x vs float, top-1
+        agreement 0.9997, err_delta <= -0.0003 i.e. no worse than
+        float — ACCURACY.md round 5). Models with no NV-eligible
+        blocks (all CIFAR basic trunks) are unaffected.
 
         Returns the number of quantized convs; raises ValueError when the
         model has no int8-eligible blocks (channel counts not divisible by

@@ -78,19 +78,16 @@ from pytorch_ddp_resnet_tpu.models.blocks import (
     _subsample,
 )
 from pytorch_ddp_resnet_tpu.models.layers import Sequential
-from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
-    bneck_block_int8,
-    fold_block_scales,
-    pack_w2,
-    quantize_pad_flat,
-    unpad_flat,
-)
 from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
     bneck_block_nv,
     bneck_transition_nv,
     fold_transition_scales,
     from_nv,
     quantize_to_nv,
+)
+from pytorch_ddp_resnet_tpu.ops.pallas.nv_common import (
+    fold_block_scales,
+    pack_w2,
 )
 from pytorch_ddp_resnet_tpu.ops.pallas.conv import (
     _pick_tile,
@@ -174,27 +171,6 @@ def _bneck_eligible(block, shape) -> bool:
             and b * h * w >= 32 * block.in_channels)
 
 
-def _bneck_fused_eligible(block, shape) -> bool:
-    """Static gate for the FUSED bottleneck kernel (ops/pallas/bneck.py):
-    post-act identity-shortcut block at a geometry where the kernel's
-    stage-level A/B beats bf16 XLA (tools/bench_bneck.py, v5e b128:
-    1.62x/2.67x at ResNet-50 stages 1-2, 1.55-1.86x at WRN-50-2 stages
-    1-3; 0.46x at 7x7 where the padded-flat M waste is 3.3x). The
-    N >= 32*Cin crossover that gates the XLA-dot path lands on the same
-    stages here, so the two substrates share it; the fused path
-    additionally needs post-act ordering (the kernel folds the v1
-    epilogues) and 32-aligned channel counts for the int8 tiles."""
-    if not _bneck_eligible(block, shape):
-        return False
-    if block.preact:
-        return False
-    sub = {name: layer for name, layer, _ in block._sublayers()}
-    c2 = sub["conv2"]
-    return (c2.kernel_size == 3 and c2.padding == 1
-            and block.in_channels % 32 == 0
-            and block.bottleneck_channels % 32 == 0)
-
-
 def _nv_id_eligible(block, shape) -> bool:
     """Static gate for the NV-trunk identity blocks (ops/pallas/
     bneck_nv.py): post-act identity-shortcut bottleneck, 32-aligned
@@ -275,15 +251,18 @@ class Int8Inference:
     """
 
     def __init__(self, model, params, state, fused_bneck=False):
-        # fused_bneck: False -> XLA int8 dots for bottleneck blocks (the
-        # shipped substrate); True -> padded-flat fused kernel
-        # (ops/pallas/bneck.py; measured 0.79-0.93x e2e, kept for A/B);
-        # "nv" -> batch-in-sublanes NV trunk (ops/pallas/bneck_nv.py:
-        # identity AND transition blocks fused, int8 carriers end-to-end)
+        # fused_bneck: False -> XLA int8 dots for bottleneck blocks;
+        # "nv" (or True) -> batch-in-sublanes NV trunk
+        # (ops/pallas/bneck_nv.py: identity AND transition blocks
+        # fused, int8 carriers end-to-end — the measured-best substrate,
+        # wrn-50-2 serving 1.18x vs float). The round-4 padded-flat
+        # kernel (0.79-0.93x e2e) was displaced by the NV family in
+        # round 5; its numbers live in BASELINE.md "Fused bottleneck
+        # kernel, round 4".
         self.model = model
         self.params = params
         self.state = state
-        self.fused_bneck = fused_bneck
+        self.fused_bneck = "nv" if fused_bneck is True else fused_bneck
         self.interpret = jax.default_backend() != "tpu"
         # static per-(stack, block) conv weight quantization, packed for the
         # lane kernel: key -> (w_q_packed [Cout, 9*Cin] int8, scale [Cout])
@@ -380,16 +359,6 @@ class Int8Inference:
             return (act_scales is None and self.fused_bneck == "nv"
                     and len(shape) == 4 and _nv_trans_eligible(obj, shape))
 
-        def bneck_fused_ok(idx, shape) -> bool:
-            """Int8-mode-only gate for the fused block kernel: needs all
-            three conv-input scales (the float path records them)."""
-            key, obj, _, _ = items[idx]
-            if (not self.fused_bneck or act_scales is None
-                    or len(shape) != 4
-                    or not _bneck_fused_eligible(obj, shape)):
-                return False
-            return all(f"{key}/conv{i}" in act_scales for i in (1, 2, 3))
-
         def trans_ok(idx, shape) -> bool:
             key, obj, _, _ = items[idx]
             if not is_block(obj) or len(shape) != 4:
@@ -404,13 +373,10 @@ class Int8Inference:
 
         lane = None     # (x_cs, (b, h, w, c)) while inside an eligible run
         pending_q = None  # s8 conv1 input from the previous dual epilogue
-        bflat = None    # (q [N, M, C] int8, (b, h, w, c)) fused-bneck run
         nvst = None     # (q [h, wp, N, C] int8, (b, h, w, c)) NV-trunk run
         for idx, (key, obj, p, s) in enumerate(items):
             if nvst is not None:
                 shape = nvst[1]
-            elif bflat is not None:
-                shape = bflat[1]
             elif lane is not None:
                 shape = lane[1]
             else:
@@ -446,29 +412,6 @@ class Int8Inference:
                 if lane is not None:
                     x, lane = delane(lane), None
                 x = self._bneck_trans_float(obj, p, s, x, key, stats)
-            elif bneck_fused_ok(idx, shape):
-                # fused bottleneck run: the carrier between consecutive
-                # eligible blocks is INT8 padded-flat; run entry
-                # (quantize+pad) and exit (unpad to NHWC) happen INSIDE
-                # the first/last kernels — XLA-side conversions cost more
-                # than the fused blocks save (ops/pallas/bneck.py doc)
-                pending_q = None
-                if lane is not None:
-                    x, lane = delane(lane), None
-                b_, h_, w_, _ = shape
-                s_in = act_scales[f"{key}/conv1"]
-                s_out = None
-                if idx + 1 < len(items) and bneck_fused_ok(idx + 1, shape):
-                    s_out = act_scales[f"{items[idx + 1][0]}/conv1"]
-                out = self._bneck_fused(
-                    obj, p, s, x if bflat is None else bflat[0], key,
-                    act_scales, s_in, s_out, h=h_, w=w_,
-                    entry=bflat is None)
-                if s_out is None:  # run exit: bf16 NHWC from the kernel
-                    x = out.astype(cd)
-                    bflat = None
-                else:
-                    bflat = (out, shape)
             elif eligible(idx, shape):
                 if lane is None:
                     b, h, w, c = shape
@@ -627,44 +570,6 @@ class Int8Inference:
         a2 = conv3(a1, i2, t2)
         z3 = dot_int8(a2, "conv3", s3) * i3 + t3
         return jnp.maximum(xf + z3, 0.0).astype(cd)
-
-    def _bneck_fused(self, block, p, s, x_in, key, act_scales, s_in,
-                     s_out, *, h, w, entry):
-        """One identity-shortcut post-act bottleneck block on the fused
-        kernel (ops/pallas/bneck.py): all three convs int8 on the MXU's
-        2x mode, BN/relu/requant epilogues in VMEM. ``entry`` -> x_in is
-        NHWC float and the kernel quantizes+packs it; otherwise x_in is
-        the int8 padded-flat carrier. ``s_out`` names the next block's
-        conv1 scale (int8 carrier out) or None (NHWC bf16 out)."""
-        sub = {n: layer for n, layer, _ in block._sublayers()}
-        i1, t1 = _bn_eval_affine(sub["norm1"], p["norm1"], s["norm1"])
-        i2, t2 = _bn_eval_affine(sub["norm2"], p["norm2"], s["norm2"])
-        i3, t3 = _bn_eval_affine(sub["norm3"], p["norm3"], s["norm3"])
-        s2 = act_scales[f"{key}/conv2"]
-        s3 = act_scales[f"{key}/conv3"]
-
-        def qw(cname, packer):
-            ckey = f"{key}/{cname}:flat"
-            if ckey not in self._wq:
-                with jax.ensure_compile_time_eval():
-                    w_q, scale = quantize_conv_weights(p[cname]["w"])
-                    self._wq[ckey] = (packer(w_q), scale)
-            return self._wq[ckey]
-
-        cin = block.in_channels
-        wdt = block.bottleneck_channels
-        w1q, w1s = qw("conv1", lambda wq: wq.reshape(cin, wdt))
-        w2q, w2s = qw("conv2", pack_w2)
-        w3q, w3s = qw("conv3", lambda wq: wq.reshape(wdt, cin))
-        folded = fold_block_scales(
-            s_in, s2, s3, 1.0 if s_out is None else s_out,
-            w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
-        return bneck_block_int8(
-            x_in, w1q, w2q, w3q, *folded, s_in if entry else None,
-            h=h, w=w,
-            in_mode="nhwc" if entry else "flat_int8",
-            out_mode="flat_int8" if s_out is not None else "nhwc_bf16",
-            interpret=self.interpret)
 
     def _bneck_nv(self, block, p, s, x_nv, key, act_scales, s_in, s_out,
                   *, shape):

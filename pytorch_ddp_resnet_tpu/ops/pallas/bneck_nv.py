@@ -1,7 +1,8 @@
 """Fused int8 bottleneck-block kernels, batch-in-sublanes ("NV") layout.
 
 The second-generation ImageNet-geometry kernel family (first generation:
-ops/pallas/bneck.py, per-image padded-flat). The flat kernels win 1.6-2.7x
+the round-4 per-image padded-flat kernel, displaced in round 5 — its
+packing helpers live on in nv_common.py). The flat kernels won 1.6-2.7x
 at stage level but LOSE end-to-end: XLA:TPU's preferred activation layout
 for these convolutions is {3,0,2,1} — physically [H, W, N, C], batch in
 the sublane dimension — and every custom-call boundary to a row-major
@@ -36,9 +37,10 @@ k == 0 / k == K-1, which is exactly conv2's zero padding). conv1 is
 recomputed on the slivers (2/R duplicate work) so conv2's taps see a
 contiguous (R+2)-row activation slab.
 
-Numerics are IDENTICAL to ops/pallas/bneck.py (same folded (p, q)
-epilogue vectors, same round/clip, same single a1 mask) — the tests
-assert bit-equality against the same independent 2-D mirror.
+Numerics are IDENTICAL to the displaced flat kernel (same folded
+(p, q) epilogue vectors — nv_common.fold_block_scales — same round/clip,
+same single a1 mask) — the tests assert bit-equality against the same
+independent 2-D mirror (tests/test_bneck_mirror.py).
 
 Reference parity target: BottleneckResidualBlock.apply(train=False)
 semantics (reference residual_block.py:102-215) at the quantized point.
@@ -193,7 +195,7 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     """One identity-shortcut post-act bottleneck block in the NV layout.
 
     x_nv: [h, wp, N, Cin] int8 carrier (wp from nv_geometry, zero
-    W-borders). Weights/affines exactly as bneck_block_int8 (bneck.py).
+    W-borders). Weights/affines exactly as nv_common.fold_block_scales.
     Returns [h, wp, N, Cout] int8 (out_int8 — the next block's carrier,
     W-border columns carry garbage that downstream masks ignore) or
     bf16 (run exit; from_nv recovers NHWC).
@@ -285,14 +287,16 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
 
 def fold_transition_scales(s_in: float, s2: float, s3: float, s_out,
                            w1s, i1, t1, w2s, i2, t2, w3s, i3, t3, wps):
-    """fold_block_scales (ops/pallas/bneck.py) for the transition block:
+    """fold_block_scales (nv_common.py) for the transition block:
     same (p1..q3) derivation; the residual term r becomes a per-channel
     projection dequant pp (the post-act proj has NO BatchNorm —
     models/blocks.py:899-903):
         out_f = relu(accP * s_in*wps + acc3 * s3*w3s*i3 + t3), / s_out
           -> pp = s_in * wps / s_out
     """
-    from pytorch_ddp_resnet_tpu.ops.pallas.bneck import fold_block_scales
+    from pytorch_ddp_resnet_tpu.ops.pallas.nv_common import (
+        fold_block_scales,
+    )
     p1, q1, p2, q2, p3, q3, _ = fold_block_scales(
         s_in, s2, s3, s_out, w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
     pp = jnp.asarray(wps, jnp.float32) * (float(s_in) / float(s_out))

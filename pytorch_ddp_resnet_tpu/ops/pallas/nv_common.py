@@ -79,3 +79,93 @@ def wcol_mask(rows: int, wdt: int, *, wp: int, n: int, w: int):
     col = jnp.bitwise_and(
         jax.lax.shift_right_logical(idx, int(n).bit_length() - 1), wp - 1)
     return (col >= 1) & (col <= w)
+
+
+# --- padded-flat layout + host-side scale folding ----------------------------
+# These predate the NV carrier (they were the round-4 flat bottleneck
+# kernel's packing, ops/pallas/bneck.py — displaced by the NV family,
+# BASELINE.md "Fused bottleneck kernel, round 4"); they remain the
+# XLA-side packing for entry quantization, the weight packers shared by
+# the NV serving/test paths, and the reference mirrors in tests.
+
+
+def flat_geometry(h: int, w: int):
+    """(rows, stride, M) of the padded-flat layout for an [h, w] plane.
+
+    stride: smallest power of two >= w + 2 (so 2-D shifts are exact 1-D
+    shifts and iota masks use power-of-two bit ops); rows: h + 2 plus
+    minimal padding so M = rows * stride is a multiple of 32 (the int8
+    sublane tile)."""
+    if h < 1 or w < 1:
+        raise ValueError(f"degenerate plane {h}x{w}")
+    stride = 8
+    while stride < w + 2:
+        stride *= 2
+    rows = h + 2
+    while (rows * stride) % 32 != 0:
+        rows += 1
+    return rows, stride, rows * stride
+
+
+def pad_flat(x_nhwc: jax.Array) -> jax.Array:
+    """[N, h, w, C] -> [N, M, C] padded-flat (zeros in the border/pad
+    slots). Pure XLA, fused with the entry quantization."""
+    n, h, w, c = x_nhwc.shape
+    rows, stride, m = flat_geometry(h, w)
+    padded = jnp.pad(x_nhwc, ((0, 0), (1, rows - 1 - h),
+                              (1, stride - 1 - w), (0, 0)))
+    return padded.reshape(n, m, c)
+
+
+def unpad_flat(x_flat: jax.Array, h: int, w: int) -> jax.Array:
+    """[N, M, C] padded-flat -> [N, h, w, C]."""
+    n, m, c = x_flat.shape
+    rows, stride, m2 = flat_geometry(h, w)
+    if m != m2:
+        raise ValueError(f"flat M={m} does not match {h}x{w} -> {m2}")
+    return x_flat.reshape(n, rows, stride, c)[:, 1:1 + h, 1:1 + w, :]
+
+
+def quantize_pad_flat(x_nhwc: jax.Array, scale: float) -> jax.Array:
+    """Entry quantization + padded-flat packing in one XLA fusion.
+    Multiplies by the inverse scale — bit-identical to the NV kernels'
+    entry handling (x/s and x*(1/s) differ in f32)."""
+    q = jnp.clip(jnp.round(x_nhwc.astype(jnp.float32) * (1.0 / scale)),
+                 -127.0, 127.0).astype(jnp.int8)
+    return pad_flat(q)
+
+
+def pack_w2(w_hwio: jax.Array) -> jax.Array:
+    """3x3 HWIO [3, 3, W, W] -> [9, W, W], tap-major (dy, dx)."""
+    kh, kw, wi, wo = w_hwio.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError("pack_w2 expects a 3x3 kernel")
+    return w_hwio.reshape(9, wi, wo)
+
+
+def fold_block_scales(s_in: float, s2: float, s3: float, s_out,
+                      w1s, i1, t1, w2s, i2, t2, w3s, i3, t3):
+    """Fold per-tensor activation scales, per-channel weight scales, and
+    BN eval affines into an identity bottleneck block's (p1,q1,p2,q2,
+    p3,q3,r) requant vectors (shared by the NV serving kernels,
+    ops/pallas/bneck_nv.py).
+
+    Derivation (post-act v1 block, models/blocks.py):
+        a1_f = relu(acc1 * s_in*w1s * i1 + t1); conv2 input q = a1_f/s2
+          -> p1 = s_in*w1s*i1 / s2, q1 = t1 / s2     (relu commutes with
+             the positive 1/s2; clip/round = the quantization)
+        a2_f = relu(acc2 * s2*w2s * i2 + t2); conv3 input q = a2_f/s3
+          -> p2 = s2*w2s*i2 / s3, q2 = t2 / s3
+        out_f = relu(x_f + acc3 * s3*w3s * i3 + t3), x_f = q_in*s_in;
+        emitted as out_f/s_out (s_out = 1.0 for the bf16 exit)
+          -> p3 = s3*w3s*i3 / s_out, q3 = t3 / s_out, r = s_in / s_out
+    """
+    f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+    s_out = float(s_out)
+    p1 = f32(w1s) * f32(i1) * (s_in / s2)
+    q1 = f32(t1) / s2
+    p2 = f32(w2s) * f32(i2) * (s2 / s3)
+    q2 = f32(t2) / s3
+    p3 = f32(w3s) * f32(i3) * (s3 / s_out)
+    q3 = f32(t3) / s_out
+    return p1, q1, p2, q2, p3, q3, float(s_in) / s_out

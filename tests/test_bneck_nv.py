@@ -1,5 +1,5 @@
 """Tests for ops/pallas/bneck_nv.py — the batch-in-sublanes fused
-bottleneck kernel. Reuses test_bneck_kernel's independent 2-D mirror:
+bottleneck kernel. Reuses test_bneck_mirror's independent 2-D mirror:
 numerics must be bit-identical to the flat-layout kernel family."""
 
 import jax
@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
+from pytorch_ddp_resnet_tpu.ops.pallas.nv_common import (
     flat_geometry,
     quantize_pad_flat,
     unpad_flat,
@@ -19,7 +19,7 @@ from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
     quantize_to_nv,
     to_nv,
 )
-from tests.test_bneck_kernel import (
+from tests.test_bneck_mirror import (
     _mirror_block,
     _rand_block_operands,
     assert_quant_equal,
@@ -61,22 +61,19 @@ def test_nv_matches_2d_mirror(h, w, cin, wdt, rch, out_int8, conv2_impl):
     assert_quant_equal(np.asarray(from_nv(got, w)), want)
 
 
-def test_nv_matches_flat_kernel_chained():
-    """NV and flat kernels are numerically interchangeable block-for-
-    block, including across a 2-block int8-carrier chain."""
-    from pytorch_ddp_resnet_tpu.ops.pallas.bneck import bneck_block_int8
-
+def test_nv_chained_matches_mirror():
+    """A 2-block int8-carrier NV chain is bit-equal to two chained
+    independent 2-D mirror blocks (the carrier handoff preserves the
+    padded-flat contract's semantics block-for-block)."""
     h, w, cin, wdt = (6, 5, 16, 8)
     rng = np.random.default_rng(2)
     ops1 = _rand_block_operands(rng, h, w, cin, wdt, n=32)
     ops2 = _rand_block_operands(rng, h, w, cin, wdt, n=32)
     j = lambda ops: [jnp.asarray(o) for o in ops[1:-1]] + [ops[-1]]
 
-    f1 = bneck_block_int8(jnp.asarray(ops1[0]), *j(ops1), h=h, w=w,
-                          interpret=True)
-    f2 = bneck_block_int8(f1, *j(ops2), h=h, w=w, out_mode="flat_bf16",
-                          interpret=True)
-    want = np.asarray(unpad_flat(f2, h, w), np.float32)
+    m1 = _mirror_block(*ops1, h=h, w=w, emit_int8=True)
+    m2 = _mirror_block(m1, *ops2[1:], h=h, w=w, emit_int8=False)
+    want = np.asarray(unpad_flat(jnp.asarray(m2), h, w), np.float32)
 
     x_nv = to_nv(jnp.asarray(_flat_to_nhwc_q(ops1[0], h, w)))
     n1 = bneck_block_nv(x_nv, *j(ops1), w=w, chunk_rows=2, interpret=True)

@@ -1,12 +1,14 @@
-"""A/B the fused int8 bottleneck-block kernel (ops/pallas/bneck.py)
-against the bf16 XLA block at the ResNet-50 / WRN-50-2 stage shapes.
+"""A/B the fused int8 NV bottleneck-block kernel (ops/pallas/
+bneck_nv.py) against the bf16 XLA block at the ResNet-50 / WRN-50-2
+stage shapes.
 
 Methodology: chained-ops timing (tools/bench_conv.py / CLAUDE.md) — the
 block is data-dependently chained inside one dispatch at two chain
 lengths and the times differenced, so the tunnel RTT cancels. Identity
 bottleneck blocks map [N,H,W,C] -> [N,H,W,C], so chaining is natural:
-the bf16 chain carries NHWC bf16, the fused chain carries the kernel's
-padded-flat int8.
+the bf16 chain carries NHWC bf16, the NV chain carries the int8
+[h, wp, N, C] carrier. (The round-4 padded-flat kernel's columns were
+removed with that kernel's displacement in round 5 — BASELINE.md.)
 
 Usage: python tools/bench_bneck.py [b] (default 128)
 """
@@ -25,11 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pytorch_ddp_resnet_tpu.ops.pallas.bneck import (
-    bneck_block_int8,
-    flat_geometry,
-    quantize_pad_flat,
-)
 from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import (
     bneck_block_nv,
     quantize_to_nv,
@@ -92,7 +89,6 @@ def main():
         keep = set(want.split(","))
         stages = [s for s in STAGES if s[0] in keep]
     for name, h, w, cin, wdt in stages:
-        rows, stride, m = flat_geometry(h, w)
         gflop = 2 * b * h * w * (cin * wdt + 9 * wdt * wdt + wdt * cin) / 1e9
 
         # ---- bf16 XLA chain ----
@@ -118,8 +114,7 @@ def main():
         inner = 8 if h >= 56 else (16 if h >= 28 else 32)
         tf = timeit(make_f, (x,), inner=inner)
 
-        # ---- fused int8 chain ----
-        q_in = quantize_pad_flat(x.astype(jnp.float32), 0.02)
+        # ---- int8 operands ----
         w1q = jnp.asarray(rng.integers(-127, 128, (cin, wdt)), jnp.int8)
         w2q = jnp.asarray(rng.integers(-127, 128, (9, wdt, wdt)), jnp.int8)
         w3q = jnp.asarray(rng.integers(-127, 128, (wdt, cin)), jnp.int8)
@@ -127,22 +122,6 @@ def main():
         p1, q1 = vec(wdt, 1e-4), vec(wdt, 0.1)
         p2, q2 = vec(wdt, 1e-4), vec(wdt, 0.1)
         p3, q3 = vec(cin, 1e-4), vec(cin, 0.05)
-
-        def make_q(k, impl):
-            def f(q):
-                for _ in range(k):
-                    q = bneck_block_int8(q, w1q, w2q, w3q, p1, q1, p2, q2,
-                                         p3, q3, 1.0, h=h, w=w,
-                                         conv2_impl=impl)
-                return q
-            return f
-
-        tg = td = float("inf")
-        if not os.environ.get("BENCH_SKIP_FLAT"):
-            tg = timeit(functools.partial(make_q, impl="grouped3"), (q_in,),
-                        inner=inner)
-            td = timeit(functools.partial(make_q, impl="dots9"), (q_in,),
-                        inner=inner)
 
         # ---- NV-layout chain (ops/pallas/bneck_nv.py) ----
         def make_nv(k, impl):
@@ -169,7 +148,6 @@ def main():
 
         print(f"{name:10s} h={h:2d} cin={cin:4d} w={wdt:4d} "
               f"bf16 {tf*1e3:7.3f} ms ({gflop/tf/1e3:6.1f} T/s)  "
-              f"{col('grouped3', tg)}  {col('dots9', td)}  "
               f"{col('nv-g3', tnv)}  {col('nv-d9', tnv9)}", flush=True)
 
 
@@ -206,7 +184,7 @@ def e2e():
         keep = set(want_models.split(","))
         specs = {k: v for k, v in specs.items() if k in keep}
     want_var = set(os.environ.get(
-        "BENCH_VARIANTS", "float,int8-dot,int8-fused,int8-nv").split(","))
+        "BENCH_VARIANTS", "float,int8-dot,int8-nv").split(","))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (b, 224, 224, 3)), jnp.float32)
 
@@ -232,21 +210,14 @@ def e2e():
             p, s, xx, train=False)[0])
         ffloat = lambda xx: jf(params, state, xx)
         variants = [("float", lambda: ffloat)]
-        if "int8-fused" in want_var or "int8-dot" in want_var:
-            inf_fused = Int8Inference(model, params, state, fused_bneck=True)
-            scales = calibrate(inf_fused, [x])
-            if "int8-fused" in want_var:
-                variants.append(
-                    ("int8-fused", lambda: inf_fused.serve_args_fn(scales)))
-            if "int8-dot" in want_var:
-                variants.append(
-                    ("int8-dot", lambda: Int8Inference(
-                        model, params, state,
-                        fused_bneck=False).serve_args_fn(scales)))
+        if "int8-dot" in want_var:
+            inf_dot = Int8Inference(model, params, state, fused_bneck=False)
+            variants.append(
+                ("int8-dot",
+                 lambda: inf_dot.serve_args_fn(calibrate(inf_dot, [x]))))
         if "int8-nv" in want_var:
             # NV trunk calibrates on its own float walk: its observers
-            # also cover transition blocks (conv1/2/3), which the flat
-            # walk leaves to block.apply
+            # also cover transition blocks (conv1/2/3)
             inf_nv = Int8Inference(model, params, state, fused_bneck="nv")
             variants.append(
                 ("int8-nv",
