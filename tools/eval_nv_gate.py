@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--variants", default="dot,nv",
                     help="comma list of int8 substrates to gate "
                          "(dot = XLA int8 dots, nv = fused NV trunk)")
+    ap.add_argument("--trace", action="store_true",
+                    help="also profile each variant's serving forward "
+                         "and print per-op device totals "
+                         "(tools/trace_serving.py's aggregation)")
     args = ap.parse_args()
 
     from pytorch_ddp_resnet_tpu.algos.predict import Predictor
@@ -107,6 +111,10 @@ def main():
             row["speedup"] = round(rate / results["float"]["img_per_s"], 3)
         results[variant] = row
         print(json.dumps({variant: row}), flush=True)
+        if args.trace:
+            from trace_serving import report, trace_predictor
+            wall, per_op = trace_predictor(pred, x, args.batch, 8)
+            report(variant, wall, per_op, 25)
     print(json.dumps({"run": args.run_name,
                       "step": int(ls["global_step"]),
                       "results": results}))
