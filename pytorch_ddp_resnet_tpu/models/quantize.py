@@ -250,7 +250,8 @@ class Int8Inference:
     bit-identical to the float Predictor.
     """
 
-    def __init__(self, model, params, state, fused_bneck=False):
+    def __init__(self, model, params, state, fused_bneck=False,
+                 nv_grid="auto"):
         # fused_bneck: False -> XLA int8 dots for bottleneck blocks;
         # "nv" (or True) -> batch-in-sublanes NV trunk
         # (ops/pallas/bneck_nv.py: identity AND transition blocks
@@ -259,10 +260,16 @@ class Int8Inference:
         # kernel (0.79-0.93x e2e) was displaced by the NV family in
         # round 5; its numbers live in BASELINE.md "Fused bottleneck
         # kernel, round 4".
+        # nv_grid: "auto" -> joint (row-chunk, batch-tile) pick
+        # (_pick_grid, round 5); "legacy" -> the pre-round-5
+        # single-batch-tile grid (A/B hook, tools/bench_bneck.py e2e).
         self.model = model
         self.params = params
         self.state = state
         self.fused_bneck = "nv" if fused_bneck is True else fused_bneck
+        if nv_grid not in ("auto", "legacy"):
+            raise ValueError(f"nv_grid={nv_grid!r} not in ('auto', 'legacy')")
+        self.nv_grid = nv_grid
         self.interpret = jax.default_backend() != "tpu"
         # static per-(stack, block) conv weight quantization, packed for the
         # lane kernel: key -> (w_q_packed [Cout, 9*Cin] int8, scale [Cout])
@@ -607,13 +614,18 @@ class Int8Inference:
             return bneck_transition_nv(
                 x_nv, w1q, w2q, w3q, wpq, *folded, w=w,
                 stride=block.stride, out_int8=s_out is not None,
+                batch_tile=(x_nv.shape[2] if self.nv_grid == "legacy"
+                            else None),
                 interpret=self.interpret)
         folded = fold_block_scales(
             s_in, s2, s3, 1.0 if s_out is None else s_out,
             w1s, i1, t1, w2s, i2, t2, w3s, i3, t3)
         return bneck_block_nv(
             x_nv, w1q, w2q, w3q, *folded, w=w,
-            out_int8=s_out is not None, interpret=self.interpret)
+            out_int8=s_out is not None,
+            batch_tile=(x_nv.shape[2] if self.nv_grid == "legacy"
+                        else None),
+            interpret=self.interpret)
 
     def _bneck_trans_float(self, block, p, s, x, key, stats):
         """Float transition bottleneck with calibration observers at the

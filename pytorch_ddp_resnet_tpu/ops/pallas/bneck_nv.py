@@ -122,13 +122,58 @@ def _pick_chunk(oh: int, wp_in: int, n: int, cin: int, wdt: int,
     return best
 
 
+def _pick_grid(oh: int, wp_in: int, n: int, cin: int, wdt: int,
+               cout: int, wp_out: int, stride: int = 1,
+               out_int8: bool = True,
+               budget: int = 88 * 1024 * 1024) -> Tuple[int, int]:
+    """Jointly pick (output-row chunk R, batch tile nb) for the NV grid.
+
+    The VMEM row cost is linear in the batch tile, so halving nb doubles
+    the largest R that fits — and the halo overhead (1-row conv1 slivers
+    recomputed + re-read per chunk) scales as (R*s + slivers)/(R*s).
+    At b128 the one-batch-tile picker forces R=2 at h=14 (100% extra
+    conv1 work) and R=1 at h=7 (200%); tiling the batch into the grid
+    is numerics-free (rows of distinct images never interact) and lets
+    the small-plane stages run near-minimal halo fractions (measured
+    A/B in BASELINE.md round 5).
+
+    Policy: minimize the halo ratio; on ties prefer the LARGER batch
+    tile (fewer grid steps). nb candidates are pow2 multiples of 32
+    dividing n (the kernels' sublane-tile contract).
+    """
+    slivers = 2 if stride == 1 else 1
+    best = None  # (halo_ratio, -nb, R, nb)
+    nb = n
+    while nb >= 32 and nb % 32 == 0 and not (nb & (nb - 1)):
+        try:
+            r = _pick_chunk(oh, wp_in, nb, cin, wdt, cout, wp_out,
+                            stride=stride, out_int8=out_int8,
+                            budget=budget)
+        except ValueError:
+            if nb == 32:
+                raise
+            nb //= 2
+            continue
+        key = ((r * stride + slivers) / (r * stride), -nb)
+        if best is None or key < best[:2]:
+            best = key + (r, nb)
+        nb //= 2
+    if best is None:
+        # n itself is not tileable (validated upstream); fall through to
+        # the single-tile picker so its error names the geometry.
+        return _pick_chunk(oh, wp_in, n, cin, wdt, cout, wp_out,
+                           stride=stride, out_int8=out_int8,
+                           budget=budget), n
+    return best[2], best[3]
+
+
 # --- identity-block kernel ---------------------------------------------------
 
 
 def _nv_kernel(head_ref, main_ref, tail_ref, w1_ref, w2_ref, w3_ref,
                p1_ref, q1_ref, p2_ref, q2_ref, p3_ref, q3_ref, r_ref,
                out_ref, *, rchunk, wp, n, w, nsteps, out_int8, conv2_impl):
-    k = pl.program_id(0)
+    k = pl.program_id(1)  # grid = (batch tiles, row chunks); rows fastest
     cin = main_ref.shape[-1]
     wdt = w1_ref.shape[1]
     rowsz = wp * n
@@ -185,12 +230,14 @@ def _nv_kernel(head_ref, main_ref, tail_ref, w1_ref, w2_ref, w3_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "out_int8", "conv2_impl", "chunk_rows", "interpret"))
+    "w", "out_int8", "conv2_impl", "chunk_rows", "batch_tile",
+    "interpret"))
 def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
                    w3q: jax.Array, p1, q1, p2, q2, p3, q3, r, *,
                    w: int, out_int8: bool = True,
                    conv2_impl: str = "dots9",
                    chunk_rows: Optional[int] = None,
+                   batch_tile: Optional[int] = None,
                    interpret: bool = False):
     """One identity-shortcut post-act bottleneck block in the NV layout.
 
@@ -199,6 +246,12 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     Returns [h, wp, N, Cout] int8 (out_int8 — the next block's carrier,
     W-border columns carry garbage that downstream masks ignore) or
     bf16 (run exit; from_nv recovers NHWC).
+
+    The grid tiles (batch, output rows); ``batch_tile`` slices N so the
+    row chunk can grow within VMEM (halo fraction 2/R shrinks — distinct
+    images never interact, so any tiling is bit-identical). Defaults:
+    joint auto-pick (_pick_grid); ``chunk_rows`` alone pins the legacy
+    single-batch-tile geometry.
     """
     h, wp, n, cin = x_nv.shape
     _check_nv(wp, w)
@@ -209,23 +262,36 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     cout = w3q.shape[1]
     if cout != cin:
         raise ValueError("identity-shortcut block needs Cout == Cin")
-    rch = chunk_rows or _pick_chunk(h, wp, n, cin, wdt, cout, wp,
-                                    out_int8=out_int8)
+    if chunk_rows and batch_tile is None:
+        rch, nb = chunk_rows, n
+    elif chunk_rows:
+        rch, nb = chunk_rows, batch_tile
+    elif batch_tile:
+        nb = batch_tile
+        rch = _pick_chunk(h, wp, nb, cin, wdt, cout, wp,
+                          out_int8=out_int8)
+    else:
+        rch, nb = _pick_grid(h, wp, n, cin, wdt, cout, wp,
+                             out_int8=out_int8)
     if h % rch:
         raise ValueError(f"chunk_rows={rch} must divide h={h}")
+    if n % nb or nb % 32 or nb & (nb - 1):
+        raise ValueError(f"batch_tile={nb} must be a pow2 multiple of "
+                         f"32 dividing N={n}")
     nsteps = h // rch
+    jsteps = n // nb
 
     def vec(c):
-        return pl.BlockSpec((1, c), lambda k: (0, 0),
+        return pl.BlockSpec((1, c), lambda j, k: (0, 0),
                             memory_space=pltpu.VMEM)
 
     def full(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape, lambda k, _n=nd: (0,) * _n,
+        return pl.BlockSpec(shape, lambda j, k, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _nv_kernel, rchunk=rch, wp=wp, n=n, w=w, nsteps=nsteps,
+        _nv_kernel, rchunk=rch, wp=wp, n=nb, w=w, nsteps=nsteps,
         out_int8=out_int8, conv2_impl=conv2_impl)
     fvec = lambda v, c: jnp.asarray(v, jnp.float32).reshape(1, c)
     args = [x_nv, x_nv, x_nv, w1q, w2q, w3q,
@@ -238,13 +304,14 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     # faults on them — FAILED_PRECONDITION device error, round 4); the
     # kernel zeroes the clamped slivers' conv1 output at k==0 / k==K-1.
     in_specs = [
-        pl.BlockSpec((1, wp, n, cin),
-                     lambda k: (jax.lax.max(k * rch - 1, 0), 0, 0, 0),
+        pl.BlockSpec((1, wp, nb, cin),
+                     lambda j, k: (jax.lax.max(k * rch - 1, 0), 0, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rch, wp, n, cin), lambda k: (k, 0, 0, 0),
+        pl.BlockSpec((rch, wp, nb, cin), lambda j, k: (k, 0, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, wp, n, cin),
-                     lambda k: (jax.lax.min(k * rch + rch, h - 1), 0, 0, 0),
+        pl.BlockSpec((1, wp, nb, cin),
+                     lambda j, k: (jax.lax.min(k * rch + rch, h - 1),
+                                   0, j, 0),
                      memory_space=pltpu.VMEM),
         full((cin, wdt)), full((9, wdt, wdt)), full((wdt, cout)),
         vec(wdt), vec(wdt), vec(wdt), vec(wdt), vec(cout), vec(cout),
@@ -253,9 +320,10 @@ def bneck_block_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     flops = 2 * h * wp * n * (cin * wdt + 9 * wdt * wdt + wdt * cout)
     return pl.pallas_call(
         kernel,
-        grid=(nsteps,),
+        grid=(jsteps, nsteps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rch, wp, n, cout), lambda k: (k, 0, 0, 0),
+        out_specs=pl.BlockSpec((rch, wp, nb, cout),
+                               lambda j, k: (k, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (h, wp, n, cout), jnp.int8 if out_int8 else jnp.bfloat16),
@@ -325,7 +393,7 @@ def _nv_transition_kernel(head_ref, main_ref, tail_ref, w1_ref, w2_ref,
     2*rchunk input rows of chunk k plus a 1-row head sliver (clamped at
     k==0; no tail sliver — the dy=2 tap's last input row is 2*oh-1 = h-1).
     stride==1: identity-kernel geometry (head + main + tail slivers)."""
-    k = pl.program_id(0)
+    k = pl.program_id(1)  # grid = (batch tiles, row chunks); rows fastest
     cin = main_ref.shape[-1]
     wdt = w1_ref.shape[1]
     cout = w3_ref.shape[1]
@@ -432,13 +500,15 @@ def _nv_transition_kernel(head_ref, main_ref, tail_ref, w1_ref, w2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "stride", "out_int8", "conv2_impl", "chunk_rows", "interpret"))
+    "w", "stride", "out_int8", "conv2_impl", "chunk_rows", "batch_tile",
+    "interpret"))
 def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
                         w3q: jax.Array, wpq: jax.Array,
                         p1, q1, p2, q2, p3, q3, pp, *,
                         w: int, stride: int = 2, out_int8: bool = True,
                         conv2_impl: str = "grouped3",
                         chunk_rows: Optional[int] = None,
+                        batch_tile: Optional[int] = None,
                         interpret: bool = False):
     """One shortcut-transforming post-act bottleneck block in the NV
     layout: conv2 at ``stride``, 1x1 projection shortcut on the
@@ -465,24 +535,37 @@ def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     oh, ow = h // stride, w // stride
     wp2 = wp_in // stride
     wp_out = max(wp2, nv_geometry(oh, ow))
-    rch = chunk_rows or _pick_chunk(oh, wp_in, n, cin, wdt, cout, wp_out,
-                                    stride=stride, out_int8=out_int8)
+    if chunk_rows and batch_tile is None:
+        rch, nb = chunk_rows, n
+    elif chunk_rows:
+        rch, nb = chunk_rows, batch_tile
+    elif batch_tile:
+        nb = batch_tile
+        rch = _pick_chunk(oh, wp_in, nb, cin, wdt, cout, wp_out,
+                          stride=stride, out_int8=out_int8)
+    else:
+        rch, nb = _pick_grid(oh, wp_in, n, cin, wdt, cout, wp_out,
+                             stride=stride, out_int8=out_int8)
     if oh % rch:
         raise ValueError(f"chunk_rows={rch} must divide oh={oh}")
+    if n % nb or nb % 32 or nb & (nb - 1):
+        raise ValueError(f"batch_tile={nb} must be a pow2 multiple of "
+                         f"32 dividing N={n}")
     nsteps = oh // rch
+    jsteps = n // nb
 
     def vec(c):
-        return pl.BlockSpec((1, c), lambda k: (0, 0),
+        return pl.BlockSpec((1, c), lambda j, k: (0, 0),
                             memory_space=pltpu.VMEM)
 
     def full(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape, lambda k, _n=nd: (0,) * _n,
+        return pl.BlockSpec(shape, lambda j, k, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _nv_transition_kernel, rchunk=rch, wp_in=wp_in, wp_out=wp_out,
-        n=n, w=w, nsteps=nsteps, stride=stride, out_int8=out_int8,
+        n=nb, w=w, nsteps=nsteps, stride=stride, out_int8=out_int8,
         conv2_impl=conv2_impl)
     fvec = lambda v, c: jnp.asarray(v, jnp.float32).reshape(1, c)
     args = [x_nv, x_nv, x_nv, w1q, w2q, w3q, wpq,
@@ -492,17 +575,18 @@ def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
     # sliver block indices are clamped EXPLICITLY (real Mosaic faults on
     # out-of-range indices; see the identity kernel's note)
     in_specs = [
-        pl.BlockSpec((1, wp_in, n, cin),
-                     lambda k: (jax.lax.max(k * rch * s - 1, 0), 0, 0, 0),
+        pl.BlockSpec((1, wp_in, nb, cin),
+                     lambda j, k: (jax.lax.max(k * rch * s - 1, 0),
+                                   0, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rch * s, wp_in, n, cin), lambda k: (k, 0, 0, 0),
+        pl.BlockSpec((rch * s, wp_in, nb, cin), lambda j, k: (k, 0, j, 0),
                      memory_space=pltpu.VMEM),
         # tail sliver: only consumed at stride 1 (clamped, zeroed there);
         # at stride 2 it aliases the head block and is never read
-        pl.BlockSpec((1, wp_in, n, cin),
-                     (lambda k: (jax.lax.min(k * rch + rch, h - 1),
-                                 0, 0, 0)) if s == 1
-                     else (lambda k: (0, 0, 0, 0)),
+        pl.BlockSpec((1, wp_in, nb, cin),
+                     (lambda j, k: (jax.lax.min(k * rch + rch, h - 1),
+                                    0, j, 0)) if s == 1
+                     else (lambda j, k: (0, 0, j, 0)),
                      memory_space=pltpu.VMEM),
         full((cin, wdt)), full((9, wdt, wdt)), full((wdt, cout)),
         full((cin, cout)),
@@ -515,10 +599,10 @@ def bneck_transition_nv(x_nv: jax.Array, w1q: jax.Array, w2q: jax.Array,
                                    + cin * cout))     # projection
     return pl.pallas_call(
         kernel,
-        grid=(nsteps,),
+        grid=(jsteps, nsteps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rch, wp_out, n, cout),
-                               lambda k: (k, 0, 0, 0),
+        out_specs=pl.BlockSpec((rch, wp_out, nb, cout),
+                               lambda j, k: (k, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (oh, wp_out, n, cout), jnp.int8 if out_int8 else jnp.bfloat16),

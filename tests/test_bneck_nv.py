@@ -245,6 +245,49 @@ def test_transition_matches_float_block():
     assert float(np.abs(got - ref).max()) < 0.06 * scale
 
 
+def test_batch_tile_bit_identical():
+    """Tiling the batch into the grid (round 5: lets the row chunk grow
+    so the halo fraction shrinks at small planes) must be bit-identical
+    to the single-tile kernel — rows of distinct images never interact."""
+    h, w, cin, wdt = 6, 5, 16, 8
+    rng = np.random.default_rng(11)
+    ops = _rand_block_operands(rng, h, w, cin, wdt, n=64)
+    x_nhwc = _flat_to_nhwc_q(ops[0], h, w)
+    x_nv = to_nv(jnp.asarray(x_nhwc))
+    j = [jnp.asarray(o) for o in ops[1:-1]] + [ops[-1]]
+    base = bneck_block_nv(x_nv, *j, w=w, chunk_rows=2, interpret=True)
+    tiled = bneck_block_nv(x_nv, *j, w=w, chunk_rows=2, batch_tile=32,
+                           interpret=True)
+    deep = bneck_block_nv(x_nv, *j, w=w, chunk_rows=3, batch_tile=32,
+                          interpret=True)
+    assert (np.asarray(base) == np.asarray(tiled)).all()
+    assert_quant_equal(np.asarray(from_nv(deep, w)),
+                       np.asarray(from_nv(base, w)))
+
+    tops = _rand_transition_operands(rng, cin, wdt, 32)
+    q = rng.integers(-127, 128, (64, h, 6, cin)).astype(np.int8)
+    tj = [jnp.asarray(o) for o in tops]
+    tb = bneck_transition_nv(to_nv(jnp.asarray(q)), *tj, w=6, stride=2,
+                             chunk_rows=1, interpret=True)
+    tt = bneck_transition_nv(to_nv(jnp.asarray(q)), *tj, w=6, stride=2,
+                             chunk_rows=1, batch_tile=32, interpret=True)
+    assert (np.asarray(tb) == np.asarray(tt)).all()
+
+
+def test_pick_grid_policy():
+    """_pick_grid shrinks the batch tile exactly when it buys a smaller
+    halo fraction; pinned on the R50/WRN b128 stage geometries."""
+    from pytorch_ddp_resnet_tpu.ops.pallas.bneck_nv import _pick_grid
+    # stage 4 (h=7): single-tile picker forces R=1 (200% halo overhead);
+    # the joint pick must do strictly better
+    r, nb = _pick_grid(7, 8, 128, 2048, 512, 2048, 8)
+    assert (r + 2) / r < 3.0 and nb < 128
+    assert 7 % r == 0 and 128 % nb == 0
+    # tiny plane where everything fits at nb=n: keep the full batch
+    r, nb = _pick_grid(6, 8, 32, 16, 8, 16, 8)
+    assert nb == 32 and r == 6
+
+
 def test_pick_chunk_vmem_model():
     """The chunk picker must budget the s32 accumulators and the 2-level
     output window, not just the input block: the R50 stage-1 entry

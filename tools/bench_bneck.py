@@ -124,12 +124,21 @@ def main():
         p3, q3 = vec(cin, 1e-4), vec(cin, 0.05)
 
         # ---- NV-layout chain (ops/pallas/bneck_nv.py) ----
+        # BENCH_BATCH_TILE: unset -> joint auto-pick (_pick_grid);
+        # "legacy" -> the single-batch-tile geometry (pre-round-5);
+        # integer -> that tile. BENCH_CHUNK_ROWS pins R.
+        bt_env = os.environ.get("BENCH_BATCH_TILE")
+        bt = b if bt_env == "legacy" else (int(bt_env) if bt_env else None)
+        cr_env = os.environ.get("BENCH_CHUNK_ROWS")
+        cr = int(cr_env) if cr_env else None
+
         def make_nv(k, impl):
             def f(q):
                 for _ in range(k):
                     q = bneck_block_nv(q, w1q, w2q, w3q, p1, q1, p2, q2,
                                        p3, q3, 1.0, w=w, out_int8=True,
-                                       conv2_impl=impl)
+                                       conv2_impl=impl, chunk_rows=cr,
+                                       batch_tile=bt)
                 return q
             return f
 
@@ -217,8 +226,12 @@ def e2e():
                  lambda: inf_dot.serve_args_fn(calibrate(inf_dot, [x]))))
         if "int8-nv" in want_var:
             # NV trunk calibrates on its own float walk: its observers
-            # also cover transition blocks (conv1/2/3)
-            inf_nv = Int8Inference(model, params, state, fused_bneck="nv")
+            # also cover transition blocks (conv1/2/3).
+            # BENCH_NV_GRID=legacy pins the pre-round-5 single-batch-tile
+            # grid for the A/B against the joint (R, nb) auto-pick.
+            inf_nv = Int8Inference(
+                model, params, state, fused_bneck="nv",
+                nv_grid=os.environ.get("BENCH_NV_GRID", "auto"))
             variants.append(
                 ("int8-nv",
                  lambda: inf_nv.serve_args_fn(calibrate(inf_nv, [x]))))
