@@ -251,7 +251,7 @@ class Int8Inference:
     """
 
     def __init__(self, model, params, state, fused_bneck=False,
-                 nv_grid="auto"):
+                 nv_grid="auto", nv_conv2_impl=None):
         # fused_bneck: False -> XLA int8 dots for bottleneck blocks;
         # "nv" (or True) -> batch-in-sublanes NV trunk
         # (ops/pallas/bneck_nv.py: identity AND transition blocks
@@ -263,6 +263,10 @@ class Int8Inference:
         # nv_grid: "auto" -> joint (row-chunk, batch-tile) pick
         # (_pick_grid, round 5); "legacy" -> the pre-round-5
         # single-batch-tile grid (A/B hook, tools/bench_bneck.py e2e).
+        # nv_conv2_impl: None -> per-kernel defaults (identity dots9,
+        # transition grouped3); "dots9"/"grouped3" -> force both. The
+        # two impls are bit-equal (tests/test_bneck_nv.py parametrizes
+        # both against the same mirror) — this is a perf-only knob.
         self.model = model
         self.params = params
         self.state = state
@@ -270,6 +274,10 @@ class Int8Inference:
         if nv_grid not in ("auto", "legacy"):
             raise ValueError(f"nv_grid={nv_grid!r} not in ('auto', 'legacy')")
         self.nv_grid = nv_grid
+        if nv_conv2_impl not in (None, "dots9", "grouped3"):
+            raise ValueError(f"nv_conv2_impl={nv_conv2_impl!r} not in "
+                             f"(None, 'dots9', 'grouped3')")
+        self.nv_conv2_impl = nv_conv2_impl
         self.interpret = jax.default_backend() != "tpu"
         # static per-(stack, block) conv weight quantization, packed for the
         # lane kernel: key -> (w_q_packed [Cout, 9*Cin] int8, scale [Cout])
@@ -614,6 +622,7 @@ class Int8Inference:
             return bneck_transition_nv(
                 x_nv, w1q, w2q, w3q, wpq, *folded, w=w,
                 stride=block.stride, out_int8=s_out is not None,
+                conv2_impl=self.nv_conv2_impl or "grouped3",
                 batch_tile=(x_nv.shape[2] if self.nv_grid == "legacy"
                             else None),
                 interpret=self.interpret)
@@ -623,6 +632,7 @@ class Int8Inference:
         return bneck_block_nv(
             x_nv, w1q, w2q, w3q, *folded, w=w,
             out_int8=s_out is not None,
+            conv2_impl=self.nv_conv2_impl or "dots9",
             batch_tile=(x_nv.shape[2] if self.nv_grid == "legacy"
                         else None),
             interpret=self.interpret)

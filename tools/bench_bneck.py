@@ -194,6 +194,10 @@ def e2e():
         specs = {k: v for k, v in specs.items() if k in keep}
     want_var = set(os.environ.get(
         "BENCH_VARIANTS", "float,int8-dot,int8-nv").split(","))
+    # BENCH_NV_CONV2: comma list of conv2 impl forcings for the NV
+    # variant ("default" = per-kernel defaults, "dots9", "grouped3") —
+    # bit-equal impls, so this is a pure perf A/B column.
+    nv_impls = os.environ.get("BENCH_NV_CONV2", "default").split(",")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (b, 224, 224, 3)), jnp.float32)
 
@@ -229,12 +233,17 @@ def e2e():
             # also cover transition blocks (conv1/2/3).
             # BENCH_NV_GRID=legacy pins the pre-round-5 single-batch-tile
             # grid for the A/B against the joint (R, nb) auto-pick.
-            inf_nv = Int8Inference(
-                model, params, state, fused_bneck="nv",
-                nv_grid=os.environ.get("BENCH_NV_GRID", "auto"))
-            variants.append(
-                ("int8-nv",
-                 lambda: inf_nv.serve_args_fn(calibrate(inf_nv, [x]))))
+            for impl in nv_impls:
+                inf_nv = Int8Inference(
+                    model, params, state, fused_bneck="nv",
+                    nv_grid=os.environ.get("BENCH_NV_GRID", "auto"),
+                    nv_conv2_impl=None if impl == "default" else impl)
+                label = ("int8-nv" if impl == "default"
+                         else f"int8-nv/{impl}")
+                variants.append(
+                    (label,
+                     lambda _i=inf_nv: _i.serve_args_fn(
+                         calibrate(_i, [x]))))
 
         res = {}
         for label, mk in variants:
