@@ -632,7 +632,10 @@ class Int8Inference:
         return bneck_block_nv(
             x_nv, w1q, w2q, w3q, *folded, w=w,
             out_int8=s_out is not None,
-            conv2_impl=self.nv_conv2_impl or "dots9",
+            # identity default grouped3 since round-5 session 5: e2e
+            # same-process A/B 8.02 vs 8.18 ms/batch on R50 b128 @224
+            # (BASELINE.md "NV grid batch-tiling"); bit-equal impls
+            conv2_impl=self.nv_conv2_impl or "grouped3",
             batch_tile=(x_nv.shape[2] if self.nv_grid == "legacy"
                         else None),
             interpret=self.interpret)
